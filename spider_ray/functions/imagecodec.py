@@ -1,0 +1,238 @@
+"""Image codecs, format sniffing, perceptual hash, PSNR.
+
+The container has no PIL/libjpeg, so (per the build brief) the decode step
+for real-world formats is stubbed while the Ray-side plumbing stays real:
+
+- **PNG**: a REAL, spec-compliant encoder/decoder for 8-bit RGB written
+  against the public PNG spec using stdlib ``zlib``/``struct`` (filter 0;
+  decoder also unfilters Sub/Up/Average/Paeth). Round-trips losslessly.
+- **"JPEG"**: ``DETERMINISTIC FAKE LOSSY CODEC`` — a stand-in for libjpeg:
+  real JPEG SOI magic (``FF D8 FF E0``) + an APP0 payload containing
+  ``FAKEJPG`` + dims + zlib-compressed pixels quantized to step 8
+  (uniform quantization error in [-4,4] ⇒ PSNR ≈ 40.9 dB ≥ the 40 dB
+  gate). Decoding a REAL camera JPEG is NotImplementedError.
+- ``sniff_format`` from magic bytes (generalizes the reference's PDF
+  sniffing, src/scrapeDocument.ts:300-303, to the image ``fmt`` column).
+- ``phash64``: 8×8 average-hash over the grayscale image (DCT-free
+  perceptual hash), returned as signed int64 for the Arrow column.
+
+All pixel math is numpy; arrays are (h, w, 3) uint8.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+JPEG_MAGIC = b"\xff\xd8\xff"
+FAKE_JPEG_TAG = b"FAKEJPG"
+
+
+# ---------------------------------------------------------------------------
+# PNG (real codec, 8-bit RGB, public spec)
+# ---------------------------------------------------------------------------
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as PNG (color type 2, filter 0)."""
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, c = arr.shape
+    assert c == 3, "RGB only"
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), arr.reshape(h, w * 3)], axis=1
+    ).tobytes()
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    rows = raw.reshape(h, stride + 1)
+    filters = rows[:, 0]
+    data = rows[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    for y in range(h):
+        f = filters[y]
+        line = data[y].copy()
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int32)
+        if f == 0:
+            out[y] = line
+        elif f == 1:  # Sub
+            for x in range(stride):
+                left = out[y, x - bpp] if x >= bpp else 0
+                out[y, x] = (line[x] + left) & 0xFF
+        elif f == 2:  # Up
+            out[y] = (line + prev) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = out[y, x - bpp] if x >= bpp else 0
+                out[y, x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = out[y, x - bpp] if x >= bpp else 0
+                b = prev[x]
+                cc = prev[x - bpp] if x >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                out[y, x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+    return out.astype(np.uint8)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit RGB PNG to an (h, w, 3) uint8 array."""
+    if not data.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG")
+    pos = len(PNG_MAGIC)
+    w = h = None
+    idat = b""
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if bit_depth != 8 or color_type != 2 or interlace != 0:
+                raise NotImplementedError(
+                    "pure-python PNG decoder supports 8-bit RGB non-interlaced only"
+                )
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    stride = w * 3
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG size mismatch")
+    if (raw.reshape(h, stride + 1)[:, 0] == 0).all():  # fast path: filter 0
+        return raw.reshape(h, stride + 1)[:, 1:].reshape(h, w, 3).copy()
+    return _unfilter(raw, h, stride, 3).reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# DETERMINISTIC FAKE LOSSY CODEC (stands in for libjpeg — clearly marked)
+# ---------------------------------------------------------------------------
+
+def encode_fake_jpeg(pixels: np.ndarray) -> bytes:
+    """Encode with the deterministic fake lossy codec (JPEG-magic container).
+
+    NOT a real JPEG bitstream. Quantizes each channel to step 8 (centered),
+    giving PSNR ≈ 40.9 dB vs the source — above the 40 dB conformance gate
+    the real pipeline would apply to libjpeg output.
+    """
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    quantized = ((arr.astype(np.uint16) // 8) * 8 + 4).clip(0, 255).astype(np.uint8)
+    payload = FAKE_JPEG_TAG + struct.pack(">II", w, h) + zlib.compress(quantized.tobytes(), 6)
+    return JPEG_MAGIC + b"\xe0" + struct.pack(">I", len(payload)) + payload
+
+
+def decode_fake_jpeg(data: bytes) -> np.ndarray:
+    if not data.startswith(JPEG_MAGIC):
+        raise ValueError("not a JPEG container")
+    if FAKE_JPEG_TAG not in data[:32]:
+        raise NotImplementedError(
+            "real JPEG decoding requires libjpeg (not in this container); "
+            "only the deterministic fake codec is decodable here"
+        )
+    (length,) = struct.unpack(">I", data[4:8])
+    payload = data[8 : 8 + length]
+    assert payload.startswith(FAKE_JPEG_TAG)
+    w, h = struct.unpack(">II", payload[len(FAKE_JPEG_TAG) : len(FAKE_JPEG_TAG) + 8])
+    raw = np.frombuffer(zlib.decompress(payload[len(FAKE_JPEG_TAG) + 8 :]), dtype=np.uint8)
+    return raw.reshape(h, w, 3).copy()
+
+
+# ---------------------------------------------------------------------------
+# Generic surface used by the pipeline stages
+# ---------------------------------------------------------------------------
+
+def sniff_format(data: bytes) -> str:
+    """Magic-byte format sniff → fmt column value ('png'|'jpeg'|'pdf'|'bin')."""
+    if data.startswith(PNG_MAGIC):
+        return "png"
+    if data.startswith(JPEG_MAGIC):
+        return "jpeg"
+    if data.startswith(b"%PDF-"):
+        return "pdf"
+    return "bin"
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return encode_png(pixels)
+    if fmt == "jpeg":
+        return encode_fake_jpeg(pixels)
+    raise ValueError(f"unsupported fmt {fmt!r}")
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    fmt = sniff_format(data)
+    if fmt == "png":
+        return decode_png(data)
+    if fmt == "jpeg":
+        return decode_fake_jpeg(data)
+    raise ValueError(f"cannot decode fmt {fmt!r}")
+
+
+def to_gray(pixels: np.ndarray) -> np.ndarray:
+    """ITU-R 601 luma, float64 (h, w)."""
+    arr = pixels.astype(np.float64)
+    return 0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
+
+
+def _block_mean_resize(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic area resize via index-bucketed block means."""
+    h, w = gray.shape
+    ys = (np.arange(h) * out_h) // h
+    xs = (np.arange(w) * out_w) // w
+    out = np.zeros((out_h, out_w))
+    counts = np.zeros((out_h, out_w))
+    np.add.at(out, (ys[:, None], xs[None, :]), gray)
+    np.add.at(counts, (ys[:, None], xs[None, :]), 1.0)
+    return out / np.maximum(counts, 1.0)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """8×8 average-hash of the grayscale image → signed int64 (Arrow-ready)."""
+    small = _block_mean_resize(to_gray(pixels), 8, 8)
+    bits = (small > small.mean()).astype(np.uint64).ravel()
+    value = np.uint64(0)
+    for b in bits:
+        value = (value << np.uint64(1)) | b
+    return int(np.int64(value))
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)

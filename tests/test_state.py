@@ -1,0 +1,72 @@
+import numpy as np
+
+from spider_ray.state.bloom import BloomFilter
+from spider_ray.state.cuckoo import CuckooFilter
+from spider_ray.state.politeness import HostBudgetState
+from spider_ray.state.seen import SeenShardState
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 2**63, size=20_000, dtype=np.uint64)
+    bf = BloomFilter(capacity=20_000, fp_rate=0.01)
+    bf.add_many(keys)
+    assert bf.contains_many(keys).all()  # no false negatives
+    other = rng.integers(0, 2**63, size=20_000, dtype=np.uint64)
+    fresh = other[~np.isin(other, keys)]
+    fp = bf.contains_many(fresh).mean()
+    assert fp < 0.05
+    # serialization roundtrip
+    bf2 = BloomFilter.from_bytes(bf.to_bytes())
+    assert bf2.contains_many(keys).all()
+
+
+def test_cuckoo_membership_and_roundtrip():
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 2**63, size=50_000, dtype=np.uint64)
+    cf = CuckooFilter(capacity=100_000)
+    assert cf.add_many(keys) == len(keys)
+    assert cf.contains_many(keys).all()  # no false negatives
+    other = rng.integers(0, 2**63, size=50_000, dtype=np.uint64)
+    fresh = other[~np.isin(other, keys)]
+    assert cf.contains_many(fresh).mean() < 0.01
+    cf2 = CuckooFilter.from_bytes(cf.to_bytes())
+    assert cf2.contains_many(keys).all()
+    assert cf2.n_items == cf.n_items
+
+
+def test_seen_shard_exact_mode_and_snapshot():
+    st = SeenShardState(capacity=1024, exact=True)
+    keys = np.array([1, 2, 3, 2, 1], dtype=np.uint64)
+    unseen = st.check_and_add(keys)
+    assert unseen.tolist() == [True, True, True, False, False]
+    again = st.check_and_add(np.array([3, 4], dtype=np.uint64))
+    assert again.tolist() == [False, True]
+    assert st.stats()["dedup_hits"] == 3
+    st2 = SeenShardState.from_snapshot(st.snapshot())
+    assert st2.check_and_add(np.array([4, 5], dtype=np.uint64)).tolist() == [False, True]
+
+
+def test_seen_shard_cuckoo_mode():
+    st = SeenShardState(capacity=4096, exact=False)
+    keys = np.arange(1000, dtype=np.uint64) * 7919 + 13
+    assert st.check_and_add(keys).all()
+    assert not st.check_and_add(keys).any()
+
+
+def test_host_budget_tokens_deterministic():
+    st = HostBudgetState(budget_per_wave=2)
+    hosts = ["a", "a", "a", "b", "a", "b", "b"]
+    got = st.acquire(hosts)
+    assert got.tolist() == [True, True, False, True, False, True, False]
+    st.begin_wave()
+    assert st.acquire(["a"]).tolist() == [True]
+
+
+def test_robots_parsing():
+    st = HostBudgetState(budget_per_wave=10)
+    st.set_robots("h.test", "User-agent: *\nDisallow: /private/\n")
+    allowed = st.allowed("h.test", ["http://h.test/ok", "http://h.test/private/x"])
+    assert allowed.tolist() == [True, False]
+    st.set_robots("open.test", None)
+    assert st.allowed("open.test", ["http://open.test/anything"]).tolist() == [True]
