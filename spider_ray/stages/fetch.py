@@ -1,0 +1,214 @@
+"""FetchStage — the adapter-parity fetch actor pool.
+
+One callable class passed to ``ds.map_batches(FetchStage, concurrency=N,
+batch_size=B)``; the Ray-native generalization of the reference's four fetch
+adapters (src/adapters/{simple,dom,crawlee,crawl4ai}.ts). Stateful setup —
+adapter construction, response cache, politeness client — happens once per
+actor in ``__init__`` (the reference rebuilds the browser per URL,
+src/shared/browser-runner.ts:335-338; the pool amortizes it).
+
+Adapter-parity contract reproduced (SURVEY.md §2.1 + hard-parts note):
+- ``simple``: follows redirects (≤5) and REWRITES ``final_url``
+  (simple.ts:115-120); status ≥400 → error row (simple.ts:104-109)
+- ``dom``: same fetch but ``final_url`` stays the request URL
+  (dom.ts:129-132) and content is normalized through an HTML round-trip
+  (dom.ts:36-49)
+- validation: invalid URLs become ``status=0, error='ValidationError'``
+  rows, not exceptions (failures are data → retryable via frontier
+  re-enqueue, SURVEY.md §4)
+- cache: content-addressed key (functions.cachekey, cache.ts:48-60) over an
+  actor-local LRU; hits skip the "network" and set ``cache_hit``
+
+The network itself is the deterministic MockWeb resolver (sources.fixtures)
+— the hermetic stand-in for undici/Playwright, which this container cannot
+run. A real-HTTP adapter would slot in behind the same ``_fetch_one``
+seam with an asyncio session per actor.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import OrderedDict
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.cachekey import create_cache_key
+from ..functions.urls import host_of, is_valid_url, url_hash64
+from ..schemas import PAGES_SCHEMA
+from ..sources.fixtures import MockWeb, MockWebConfig
+
+_FIXED_EPOCH_MS = 1_700_000_000_000  # deterministic fetched_at (no wall clock)
+
+
+def process_html(html: str) -> str:
+    """DOM-normalization round-trip (dom.ts:36-49): re-serialize through the
+    stdlib parser — lowercased tags, entity-safe text. On failure, return
+    the raw HTML (reference warns + passes through)."""
+    from html.parser import HTMLParser
+
+    out: list[str] = []
+
+    class _Ser(HTMLParser):
+        VOID = {"br", "hr", "img", "meta", "link", "input"}
+
+        def handle_starttag(self, tag, attrs):
+            parts = "".join(
+                f' {k}' if v is None else f' {k}="{v}"' for k, v in attrs
+            )
+            out.append(f"<{tag}{parts}>")
+
+        def handle_endtag(self, tag):
+            out.append(f"</{tag}>")
+
+        def handle_data(self, data):
+            out.append(data)
+
+    try:
+        parser = _Ser(convert_charrefs=False)
+        parser.feed(html)
+        parser.close()
+        return "".join(out)
+    except Exception:
+        return html
+
+
+class FetchStage:
+    """Actor-pool fetch: one batch of frontier rows in, pages rows out."""
+
+    def __init__(
+        self,
+        web_config: MockWebConfig | None = None,
+        adapter: str = "simple",
+        cache_size: int = 4096,
+        cache_enabled: bool = True,
+        max_redirects: int = 5,
+        simulated_latency_us: int = 0,
+    ):
+        self.web = MockWeb(web_config or MockWebConfig())
+        self.adapter = adapter
+        self.cache: OrderedDict[str, dict] = OrderedDict()
+        self.cache_size = cache_size
+        self.cache_enabled = cache_enabled
+        self.max_redirects = max_redirects
+        self.simulated_latency_us = simulated_latency_us
+        self.fetches = 0
+        self.cache_hits = 0
+
+    # -- single fetch (the adapter seam) ----------------------------------
+    def _fetch_one(self, url: str, attempts: int) -> dict:
+        start = time.perf_counter()
+        if not is_valid_url(url):
+            return self._row(
+                url, url, 0, None, None, None, None, 0.0, False, "ValidationError"
+            )
+        key = create_cache_key(self.adapter, url, [{"adapter": self.adapter}])
+        if self.cache_enabled and key in self.cache:
+            self.cache.move_to_end(key)
+            self.cache_hits += 1
+            cached = dict(self.cache[key])
+            cached["cache_hit"] = True
+            return cached
+        if self.simulated_latency_us:
+            time.sleep(self.simulated_latency_us / 1e6)
+        resp = self.web.resolve(url, attempts=attempts)
+        self.fetches += 1
+        final_url = resp.final_url if self.adapter == "simple" else url
+        content = resp.content
+        if self.adapter == "dom" and content is not None and resp.status < 400:
+            content = process_html(content)
+        error = None
+        if resp.status >= 400:
+            error = f"NetworkError: HTTP {resp.status}"
+        duration_ms = (time.perf_counter() - start) * 1000.0
+        row = self._row(
+            url,
+            final_url,
+            resp.status,
+            resp.content_type,
+            content,
+            resp.body_bytes,
+            resp.filename,
+            duration_ms,
+            False,
+            error,
+        )
+        if self.cache_enabled and resp.status < 400:
+            self.cache[key] = row
+            if len(self.cache) > self.cache_size:
+                self.cache.popitem(last=False)
+        return row
+
+    @staticmethod
+    def _row(
+        url, final_url, status, content_type, content, body_bytes, filename,
+        duration_ms, cache_hit, error,
+    ) -> dict:
+        return {
+            "url": url,
+            "final_url": final_url,
+            "status": status,
+            "content_type": content_type,
+            "content": content,
+            "body_bytes": body_bytes,
+            "filename": filename,
+            "duration_ms": duration_ms,
+            "cache_hit": cache_hit,
+            "error": error,
+        }
+
+    # -- batch entry ------------------------------------------------------
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        depths = (
+            batch.column("depth").to_pylist()
+            if "depth" in batch.column_names
+            else [0] * len(urls)
+        )
+        attempts = (
+            batch.column("attempts").to_pylist()
+            if "attempts" in batch.column_names
+            else [0] * len(urls)
+        )
+        rows = [self._fetch_one(u, a or 0) for u, a in zip(urls, attempts)]
+        n = len(rows)
+        cols: dict[str, pa.Array] = {
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "final_url": pa.array([r["final_url"] for r in rows], pa.string()),
+            "url_hash": pa.array(
+                [url_hash64(u) for u in urls], pa.uint64()
+            )
+            if "url_hash" not in batch.column_names
+            else batch.column("url_hash").combine_chunks(),
+            "host": pa.array([host_of(u) for u in urls], pa.string())
+            if "host" not in batch.column_names
+            else batch.column("host").combine_chunks(),
+            "depth": pa.array(depths, pa.int32()),
+            "status": pa.array([r["status"] for r in rows], pa.int32()),
+            "content_type": pa.array([r["content_type"] for r in rows], pa.string()),
+            "content": pa.array([r["content"] for r in rows], pa.large_string()),
+            "body_bytes": pa.array([r["body_bytes"] for r in rows], pa.large_binary()),
+            "filename": pa.array([r["filename"] for r in rows], pa.string()),
+            "links": pa.nulls(n, PAGES_SCHEMA.field("links").type),
+            "fetched_at": pa.array([_FIXED_EPOCH_MS] * n, pa.timestamp("ms")),
+            "cache_hit": pa.array([r["cache_hit"] for r in rows], pa.bool_()),
+            "strategy_type": pa.array(["basic"] * n, pa.string()),
+            "strategy_spider": pa.array([self.adapter] * n, pa.string()),
+            "confidence": pa.array([1.0] * n, pa.float64()),
+            "duration_ms": pa.array(
+                [int(r["duration_ms"]) for r in rows], pa.int64()
+            ),
+            "link_count": pa.nulls(n, pa.int32()),
+            "interaction_count": pa.array([0] * n, pa.int32()),
+            "complete": pa.array([r["status"] < 400 for r in rows], pa.bool_()),
+            "error": pa.array([r["error"] for r in rows], pa.string()),
+        }
+        out = pa.table({name: cols[name] for name in PAGES_SCHEMA.names})
+        if "anchor_text" in batch.column_names:  # caption passthrough
+            out = out.append_column(
+                "anchor_text", batch.column("anchor_text").combine_chunks()
+            )
+        return out
+
+    def stats(self) -> dict:
+        return {"fetches": self.fetches, "cache_hits": self.cache_hits}

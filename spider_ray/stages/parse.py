@@ -1,0 +1,220 @@
+"""Parse / extract / document-assembly batch transforms (stateless).
+
+- ``parse_links_batch``: fills the ``links`` list<struct> column for HTML
+  pages (reference extractHtmlLinks, src/shared/links.ts:17-48, applied at
+  the distributed pages table instead of inside the adapter).
+- ``extract_candidates_batch``: explodes links into frontier-candidate rows
+  with canonical URL, uint64 hash, host, depth+1, deterministic priority.
+- ``to_documents_batch``: the 3-way scrapeDocument branch
+  (src/scrapeDocument.ts:249-320): direct-download → detector redirect →
+  PDF/HTML text+metadata.
+- ``images_from_pages_batch``: image rows (input-hint schema) from fetched
+  binary pages + the caption carried on the discovering link.
+
+All operate on ``pyarrow`` batches; HTML parsing is per-row Python (parsing
+is not vectorizable) but everything around it is columnar.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.detectors import detect_document_url
+from ..functions.imagecodec import decode_image, phash64, sniff_format
+from ..functions.links import extract_html_links
+from ..functions.mime import infer_content_type
+from ..functions.text import extract_html_metadata, looks_like_pdf, strip_html_to_text
+from ..functions.urls import canonicalize_url, host_of, is_valid_url, url_hash64
+from ..schemas import DOCUMENTS_SCHEMA, PAGES_SCHEMA
+
+
+def priority_of(canonical_url: str) -> float:
+    """Deterministic frontier priority in [0, 1).
+
+    SQL-reproducible: ``(('0x' || substr(md5(url), 1, 8))::BIGINT % 1000) /
+    1000.0`` — md5 of the canonical URL, first 8 hex chars.
+    """
+    import hashlib
+
+    return (int(hashlib.md5(canonical_url.encode()).hexdigest()[:8], 16) % 1000) / 1000.0
+
+
+def parse_links_batch(batch: pa.Table) -> pa.Table:
+    """Extract links for every 200-HTML row; passthrough otherwise."""
+    statuses = batch.column("status").to_pylist()
+    ctypes = batch.column("content_type").to_pylist()
+    contents = batch.column("content").to_pylist()
+    finals = batch.column("final_url").to_pylist()
+    links_col: list[list[dict] | None] = []
+    counts: list[int | None] = []
+    for status, ctype, content, final in zip(statuses, ctypes, contents, finals):
+        if status < 400 and ctype and "html" in ctype and content:
+            links = [l.as_dict() for l in extract_html_links(content, final)]
+            links_col.append(links)
+            counts.append(len(links))
+        else:
+            links_col.append(None)
+            counts.append(0)
+    batch = batch.set_column(
+        batch.schema.get_field_index("links"),
+        "links",
+        pa.array(links_col, PAGES_SCHEMA.field("links").type),
+    )
+    return batch.set_column(
+        batch.schema.get_field_index("link_count"),
+        "link_count",
+        pa.array(counts, pa.int32()),
+    )
+
+
+def extract_candidates_batch(batch: pa.Table) -> pa.Table:
+    """pages → candidate frontier rows (url, url_hash, host, priority,
+    depth, parent_url_hash); invalid/external-scheme hrefs dropped."""
+    links_lists = batch.column("links").to_pylist()
+    depths = batch.column("depth").to_pylist()
+    parents = batch.column("url_hash").to_pylist()
+    urls: list[str] = []
+    hashes: list[int] = []
+    hosts: list[str] = []
+    priorities: list[float] = []
+    out_depths: list[int] = []
+    out_parents: list[int] = []
+    texts: list[str | None] = []
+    for links, depth, parent in zip(links_lists, depths, parents):
+        if not links:
+            continue
+        for link in links:
+            href = link["href"]
+            if not is_valid_url(href):
+                continue
+            canonical = canonicalize_url(href)
+            urls.append(canonical)
+            hashes.append(url_hash64(canonical))
+            hosts.append(host_of(canonical))
+            priorities.append(priority_of(canonical))
+            out_depths.append((depth or 0) + 1)
+            out_parents.append(parent)
+            texts.append(link.get("text"))
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "url_hash": pa.array(hashes, pa.uint64()),
+            "host": pa.array(hosts, pa.string()),
+            "priority": pa.array(priorities, pa.float64()),
+            "depth": pa.array(out_depths, pa.int32()),
+            "discovered_at": pa.nulls(len(urls), pa.timestamp("ms")),
+            "parent_url_hash": pa.array(out_parents, pa.uint64()),
+            "attempts": pa.array([0] * len(urls), pa.int32()),
+            "anchor_text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def to_documents_batch(batch: pa.Table) -> pa.Table:
+    """ScrapeResult → DocumentResult rows (scrapeDocument.ts:249-320)."""
+    n = batch.num_rows
+    cols = {name: batch.column(name).to_pylist() for name in (
+        "url", "final_url", "status", "content_type", "content",
+        "body_bytes", "filename",
+    )}
+    out = {name: [] for name in DOCUMENTS_SCHEMA.names}
+    for i in range(n):
+        url = cols["url"][i]
+        content = cols["content"][i] or ""
+        body = cols["body_bytes"][i]
+        filename = cols["filename"][i]
+        status = cols["status"][i]
+        if status >= 400 or status == 0:
+            continue  # error rows are not documents
+        if body is not None:
+            # branch 1: direct download (scrapeDocument.ts:258-281)
+            ctype = cols["content_type"][i] or infer_content_type(filename)
+            out["url"].append(url)
+            out["mime_type"].append(ctype)
+            out["text"].append("")
+            out["html"].append(None)
+            out["is_download"].append(True)
+            out["file_content"].append(body)
+            out["filename"].append(filename)
+            out["content_type"].append(ctype)
+            out["title"].append(None)
+            out["description"].append(None)
+            out["is_pdf"].append(ctype == "application/pdf" or sniff_format(body) == "pdf")
+            out["complete"].append(True)
+            out["strategy"].append("direct-download")
+            continue
+        detected = detect_document_url(url, content)
+        if detected is not None:
+            # branch 2: detector redirect record (scrapeDocument.ts:283-298)
+            out["url"].append(detected.url)
+            out["mime_type"].append(detected.type)
+            out["text"].append("")
+            out["html"].append(None)
+            out["is_download"].append(False)
+            out["file_content"].append(None)
+            out["filename"].append(None)
+            out["content_type"].append(detected.type)
+            out["title"].append(None)
+            out["description"].append(None)
+            out["is_pdf"].append(detected.is_pdf)
+            out["complete"].append(False)
+            out["strategy"].append(detected.strategy)
+            continue
+        # branch 3: PDF sniff / HTML text+metadata (scrapeDocument.ts:300-319)
+        is_pdf = looks_like_pdf(url, content)
+        meta = extract_html_metadata(content)
+        out["url"].append(url)
+        out["mime_type"].append("application/pdf" if is_pdf else "text/html")
+        out["text"].append("" if is_pdf else strip_html_to_text(content))
+        out["html"].append(content)
+        out["is_download"].append(False)
+        out["file_content"].append(None)
+        out["filename"].append(None)
+        out["content_type"].append(None)
+        out["title"].append(meta["title"])
+        out["description"].append(meta["description"])
+        out["is_pdf"].append(is_pdf)
+        out["complete"].append(True)
+        out["strategy"].append("pdf-direct" if is_pdf else "html-extraction")
+    return pa.table(
+        {name: pa.array(out[name], DOCUMENTS_SCHEMA.field(name).type) for name in DOCUMENTS_SCHEMA.names}
+    )
+
+
+def images_from_pages_batch(batch: pa.Table) -> pa.Table:
+    """Binary image pages → images rows (input-hint schema).
+
+    The caption is the ``anchor_text`` carried on the frontier row that
+    discovered the image (reference Link.text → caption, SURVEY.md §1.1),
+    falling back to the filename. Decode runs here (real for our codecs) to
+    fill w/h/phash — the Ray-side plumbing a real libjpeg/libpng stage
+    would use, at the same seam.
+    """
+    urls = batch.column("url").to_pylist()
+    bodies = batch.column("body_bytes").to_pylist()
+    statuses = batch.column("status").to_pylist()
+    anchors = (
+        batch.column("anchor_text").to_pylist()
+        if "anchor_text" in batch.column_names
+        else [None] * len(urls)
+    )
+    out = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
+    for url, body, status, anchor in zip(urls, bodies, statuses, anchors):
+        if status >= 400 or body is None:
+            continue
+        fmt = sniff_format(body)
+        if fmt not in ("png", "jpeg"):
+            continue
+        pixels = decode_image(body)
+        out["image_id"].append(url)
+        out["bytes"].append(body)
+        out["w"].append(int(pixels.shape[1]))
+        out["h"].append(int(pixels.shape[0]))
+        out["fmt"].append(fmt)
+        out["caption"].append(anchor if anchor else url.rsplit("/", 1)[-1])
+        out["phash"].append(phash64(pixels))
+    from ..schemas import IMAGES_SCHEMA
+
+    return pa.table(
+        {name: pa.array(out[name], IMAGES_SCHEMA.field(name).type) for name in IMAGES_SCHEMA.names}
+    )
