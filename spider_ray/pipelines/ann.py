@@ -1,0 +1,140 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- **brute_force_topk** — the exactness baseline: broadcast the query matrix
+  once (``ray.put``), each ``map_batches`` task computes its batch's
+  partial top-k via numpy matmul, then a tiny driver-side reduce merges
+  partials. No shuffle; communication = one small partial per block.
+- **ivf_topk** — the scale path: a seeded k-means-lite (driver fit on a
+  sample) partitions vectors into ``n_cells`` cells; queries search only
+  the ``n_probe`` nearest cells. Same partial-top-k merge within the
+  probed cells.
+
+Results: (query_id, rank, vec_id, cosine) with deterministic tie-break on
+vec_id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    mat = mat.astype(np.float64)
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+def _merge_partials(parts: list[pd.DataFrame], k: int) -> pa.Table:
+    merged = pd.concat(parts, ignore_index=True)
+    merged = merged.sort_values(
+        ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
+    )
+    out = merged.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount()
+    return pa.Table.from_pandas(
+        out[["query_id", "rank", "vec_id", "cosine"]], preserve_index=False
+    )
+
+
+def brute_force_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: list | None = None,
+) -> pa.Table:
+    """Exact cosine top-k of each query against the whole dataset."""
+    qmat = _normalize(np.atleast_2d(np.asarray(queries)))
+    qids = query_ids if query_ids is not None else list(range(len(qmat)))
+    qref = ray.put((qmat, qids))
+
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        qm, qi = ray.get(qref)
+        mat = _normalize(np.stack(batch[vec_col].to_numpy()))
+        sims = qm @ mat.T  # (nq, nb)
+        ids = batch[id_col].to_numpy()
+        kk = min(k, sims.shape[1])
+        # partial top-k per query within this block
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = {"query_id": [], "vec_id": [], "cosine": []}
+        for q in range(sims.shape[0]):
+            rows["query_id"].extend([qi[q]] * kk)
+            rows["vec_id"].extend(ids[idx[q]])
+            rows["cosine"].extend(sims[q, idx[q]])
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    return _merge_partials([parts], k)
+
+
+def kmeans_lite(
+    sample: np.ndarray, n_cells: int, n_iter: int = 10, seed: int = 5
+) -> np.ndarray:
+    """Seeded Lloyd's iterations on a driver-side sample → (n_cells, d)."""
+    rng = np.random.default_rng(seed)
+    sample = _normalize(sample)
+    centers = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(sample @ centers.T, axis=1)
+        for c in range(len(centers)):
+            members = sample[assign == c]
+            if len(members):
+                centers[c] = members.mean(axis=0)
+        centers = _normalize(centers)
+    return centers
+
+
+def ivf_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: list | None = None,
+    sample_size: int = 2048,
+    seed: int = 5,
+) -> pa.Table:
+    """IVF-style ANN: coarse quantizer (kmeans-lite) + probe nearest cells.
+
+    Trades recall for a 1/(n_cells/n_probe) reduction in scanned vectors;
+    recall measured against brute force in tests.
+    """
+    sample_rows = ds.limit(sample_size).to_pandas()
+    sample = np.stack(sample_rows[vec_col].to_numpy())
+    centers = kmeans_lite(sample, n_cells, seed=seed)
+    qmat = _normalize(np.atleast_2d(np.asarray(queries)))
+    qids = query_ids if query_ids is not None else list(range(len(qmat)))
+    probe_cells = np.argsort(-(qmat @ centers.T), axis=1)[:, :n_probe]
+    ref = ray.put((qmat, qids, centers, probe_cells))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        qm, qi, cen, probes = ray.get(ref)
+        mat = _normalize(np.stack(batch[vec_col].to_numpy()))
+        cells = np.argmax(mat @ cen.T, axis=1)
+        ids = batch[id_col].to_numpy()
+        rows = {"query_id": [], "vec_id": [], "cosine": []}
+        for q in range(qm.shape[0]):
+            mask = np.isin(cells, probes[q])
+            if not mask.any():
+                continue
+            sims = qm[q] @ mat[mask].T
+            sub_ids = ids[mask]
+            kk = min(k, len(sub_ids))
+            idx = np.argpartition(-sims, kk - 1)[:kk] if len(sims) > kk else np.arange(len(sims))
+            rows["query_id"].extend([qi[q]] * len(idx))
+            rows["vec_id"].extend(sub_ids[idx])
+            rows["cosine"].extend(sims[idx])
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()), "rank": pa.array([], pa.int64()),
+             "vec_id": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
+        )
+    return _merge_partials([parts], k)

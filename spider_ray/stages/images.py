@@ -1,0 +1,140 @@
+"""Multimodal (image) column stages — actor-pool ``map_batches`` classes.
+
+Images travel as opaque ``binary`` columns with typed metadata (the
+input-hint images schema). Stages here are the decode / resize /
+feature-extract plumbing a training-data pipeline needs; the codec seam is
+functions.imagecodec (real pure-python PNG, deterministic fake lossy codec;
+real camera-JPEG decode would need libjpeg and raises NotImplementedError —
+the Ray-side batch/actor plumbing is identical either way).
+
+Batch sizing: image payloads are wide — callers should use small
+``batch_size`` (64-256) so batch × concurrency stays inside worker heaps;
+blocks stay Arrow ``binary`` end-to-end (zero-copy from the object store).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.imagecodec import (
+    _block_mean_resize,
+    decode_image,
+    encode_image,
+    phash64,
+    sniff_format,
+    to_gray,
+)
+
+
+class DecodeStats:
+    """bytes → (w, h, fmt, mean_luma, phash) metadata columns.
+
+    Stateless math but shipped as a class so a real build swaps in a codec
+    handle loaded once per actor in ``__init__``.
+    """
+
+    def __init__(self, bytes_col: str = "bytes"):
+        self.bytes_col = bytes_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch.column(self.bytes_col).to_pylist()
+        w, h, fmt, luma, ph = [], [], [], [], []
+        for blob in blobs:
+            f = sniff_format(blob)
+            fmt.append(f)
+            if f in ("png", "jpeg"):
+                px = decode_image(blob)
+                h.append(int(px.shape[0]))
+                w.append(int(px.shape[1]))
+                luma.append(float(to_gray(px).mean()))
+                ph.append(phash64(px))
+            else:
+                h.append(None)
+                w.append(None)
+                luma.append(None)
+                ph.append(None)
+        return (
+            batch.append_column("dec_w", pa.array(w, pa.int32()))
+            .append_column("dec_h", pa.array(h, pa.int32()))
+            .append_column("dec_fmt", pa.array(fmt, pa.string()))
+            .append_column("mean_luma", pa.array(luma, pa.float64()))
+            .append_column("dec_phash", pa.array(ph, pa.int64()))
+        )
+
+
+class Resize:
+    """Deterministic area resize to (out_h, out_w), re-encoded as PNG."""
+
+    def __init__(self, out_h: int = 16, out_w: int = 16, bytes_col: str = "bytes"):
+        self.out_h, self.out_w = out_h, out_w
+        self.bytes_col = bytes_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch.column(self.bytes_col).to_pylist()
+        out = []
+        for blob in blobs:
+            if sniff_format(blob) in ("png", "jpeg"):
+                px = decode_image(blob)
+                small = np.stack(
+                    [
+                        _block_mean_resize(px[..., c].astype(np.float64), self.out_h, self.out_w)
+                        for c in range(3)
+                    ],
+                    axis=-1,
+                ).clip(0, 255).astype(np.uint8)
+                out.append(encode_image(small, "png"))
+            else:
+                out.append(None)
+        return batch.append_column("thumb_bytes", pa.array(out, pa.binary()))
+
+
+class ImageEmbed:
+    """Tiny deterministic image feature vector (luma histogram + moments).
+
+    STAND-IN for a real vision encoder (no torch/GPU in this container) —
+    the actor-pool signature, batched inference shape, and output layout
+    (list<float> column) are exactly what a real model stage uses; a real
+    build loads the model once here in ``__init__``.
+    """
+
+    DIM = 20
+
+    def __init__(self, bytes_col: str = "bytes"):
+        self.bytes_col = bytes_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch.column(self.bytes_col).to_pylist()
+        vecs = []
+        for blob in blobs:
+            if sniff_format(blob) not in ("png", "jpeg"):
+                vecs.append(None)
+                continue
+            gray = to_gray(decode_image(blob))
+            hist, _ = np.histogram(gray, bins=16, range=(0, 255))
+            hist = hist / max(1, gray.size)
+            moments = np.array(
+                [gray.mean() / 255.0, gray.std() / 255.0,
+                 float(np.abs(np.diff(gray, axis=0)).mean()) / 255.0,
+                 float(np.abs(np.diff(gray, axis=1)).mean()) / 255.0]
+            )
+            vecs.append(np.concatenate([hist, moments]).astype(np.float32).tolist())
+        return batch.append_column(
+            "img_embedding", pa.array(vecs, pa.list_(pa.float32()))
+        )
+
+
+def frame_sample_stub(*_args, **_kwargs):
+    """Video frame sampling requires an AV decoder not in this container."""
+    raise NotImplementedError(
+        "video decode (frame sampling) requires pyav/ffmpeg — not available "
+        "in this container; the stage contract matches DecodeStats"
+    )
+
+
+def audio_features_stub(*_args, **_kwargs):
+    """Audio feature extraction requires an audio decoder not in container."""
+    raise NotImplementedError(
+        "audio decode requires soundfile/ffmpeg — not available in this "
+        "container; the stage contract matches ImageEmbed"
+    )

@@ -17,5 +17,7 @@ def ray_session():
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # list<string> columns (links.classes) must stay plain lists in pandas
+    ctx.enable_tensor_extension_casting = False
     yield
     ray.shutdown()

@@ -1,0 +1,150 @@
+"""Training-data operator tests over the driver testdata tables."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+import ray
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def docs_ds(ray_session):
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture()
+def emb_ds(ray_session):
+    return ray.data.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup_matches_pandas(docs_ds):
+    from spider_ray.pipelines.dedup import exact_dedup
+
+    out = exact_dedup(docs_ds).to_pandas()
+    raw = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    expected = raw.sort_values("doc_id").drop_duplicates("text", keep="first")
+    assert sorted(out["doc_id"]) == sorted(expected["doc_id"])
+
+
+def test_minhash_lsh_finds_exact_dupes(docs_ds):
+    from spider_ray.pipelines.dedup import minhash_lsh_pairs
+
+    raw = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    texts = dict(zip(raw["doc_id"], raw["text"]))
+    pairs = minhash_lsh_pairs(
+        docs_ds, texts_by_id=texts, verify_threshold=0.99
+    ).to_pandas()
+    # every exact-duplicate text pair must be found (jaccard 1.0)
+    dup_groups = raw.groupby("text")["doc_id"].apply(list)
+    expected_pairs = set()
+    for ids in dup_groups:
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                expected_pairs.add((ids[i], ids[j]))
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    missing = expected_pairs - got
+    assert not missing, f"minhash missed exact dupes: {sorted(missing)[:5]}"
+
+
+def test_simhash_finds_exact_dupes(docs_ds):
+    from spider_ray.pipelines.dedup import simhash_pairs
+
+    raw = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    pairs = simhash_pairs(docs_ds).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    dup_groups = raw.groupby("text")["doc_id"].apply(list)
+    for ids in dup_groups:
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                assert (ids[i], ids[j]) in got
+    # all reported pairs have hamming ≤ 3
+    assert (pairs["hamming"] <= 3).all()
+
+
+def test_embedding_neardup_recovers_self_similarity(emb_ds, ray_session):
+    from spider_ray.pipelines.dedup import embedding_neardup_pairs
+
+    raw = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    # append a perturbed copy of vec 0 → a known near-dup pair
+    import pandas as pd
+
+    v0 = np.array(raw.iloc[0]["embedding"], dtype=np.float32)
+    clone = v0 + 0.001
+    extra = pd.DataFrame(
+        {"vec_id": [999999], "embedding": [clone.tolist()], "label": [0]}
+    )
+    ds = ray.data.from_pandas(pd.concat([raw, extra], ignore_index=True))
+    pairs = embedding_neardup_pairs(ds, threshold=0.999).to_pandas()
+    assert ((pairs["id_a"] == 0) & (pairs["id_b"] == 999999)).any()
+
+
+def test_brute_force_topk_matches_numpy(emb_ds):
+    from spider_ray.pipelines.ann import brute_force_topk
+
+    raw = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    mat = np.stack(raw["embedding"].to_numpy()).astype(np.float64)
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    q = matn[0]
+    sims = matn @ q
+    order = np.lexsort((raw["vec_id"].to_numpy(), -sims))[:10]
+    expected = raw["vec_id"].to_numpy()[order].tolist()
+
+    out = brute_force_topk(emb_ds, mat[0], k=10).to_pandas()
+    assert out[out["query_id"] == 0].sort_values("rank")["vec_id"].tolist() == expected
+
+
+def test_ivf_topk_recall(emb_ds):
+    from spider_ray.pipelines.ann import brute_force_topk, ivf_topk
+
+    raw = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    mat = np.stack(raw["embedding"].to_numpy()).astype(np.float64)
+    queries = mat[:5]
+    exact = brute_force_topk(emb_ds, queries, k=10).to_pandas()
+    approx = ivf_topk(emb_ds, queries, k=10, n_cells=8, n_probe=4).to_pandas()
+    recalls = []
+    for q in range(5):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_text_analysis_pipeline(docs_ds):
+    from spider_ray.pipelines.textops import analyze
+
+    out = analyze(docs_ds).to_pandas()
+    assert {"n_tokens", "lang_pred", "quality", "fingerprint", "n_words"} <= set(out.columns)
+    raw = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    row = out[out["doc_id"] == 0].iloc[0]
+    assert row["n_tokens"] == len(raw.iloc[0]["text"].split())
+    assert 0.0 <= row["quality"] <= 1.0
+
+
+def test_image_stages(ray_session):
+    import pyarrow as pa
+
+    from spider_ray.sources.fixtures import MockWeb, MockWebConfig
+    from spider_ray.stages.images import DecodeStats, ImageEmbed, Resize
+
+    cfg = MockWebConfig(n_pages=40)
+    web = MockWeb(cfg)
+    rows = [web.expected_image_row(i) for i in range(0, 40, 5)]
+    table = pa.Table.from_pylist(rows)
+    ds = ray.data.from_arrow(table)
+    out = (
+        ds.map_batches(DecodeStats, batch_size=4, concurrency=2, batch_format="pyarrow")
+        .map_batches(Resize, fn_constructor_kwargs={"out_h": 8, "out_w": 8},
+                     batch_size=4, concurrency=2, batch_format="pyarrow")
+        .map_batches(ImageEmbed, batch_size=4, concurrency=2, batch_format="pyarrow")
+        .to_pandas()
+    )
+    assert (out["dec_w"] == cfg.img_size).all()
+    assert out["dec_fmt"].isin(["png", "jpeg"]).all()
+    assert out["thumb_bytes"].notna().all()
+    assert all(len(v) == ImageEmbed.DIM for v in out["img_embedding"])
+    # decode-stats phash equals the stored phash (same decoded pixels)
+    assert (out["dec_phash"] == out["phash"]).all()
