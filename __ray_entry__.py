@@ -1,44 +1,1220 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() ↔ oracle_sql() correctness gate.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Each queries() entry exercises a real spider_ray operator (SURVEY.md §2)
+over inputs derived deterministically from the sf_dir parquet tables; the
+matching oracle_sql() entry recomputes the expected result in pure DuckDB
+SQL over the same pre-registered views. URL/link/detector inputs are
+synthesized from ``doc_id`` with closed-form rules so both sides agree;
+the crawl queries run the real wave scheduler over the fixture web and the
+oracle recomputes the BFS closure with a recursive CTE.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE importing this module — nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+import shutil
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+# url-corpus params shared between python and SQL
+N_URL_HOSTS = 5
+CRAWL_HOSTS = 7
+CRAWL_SEED_EVERY = 50
+CRAWL_IMG_EVERY = 5
+
+
+def _half_up(x: np.ndarray) -> np.ndarray:
+    """Round half away from zero for non-negative inputs — matches SQL
+    ``round()`` (numpy's rint rounds half-to-even)."""
+    return np.floor(np.asarray(x) + 0.5)
+
+
+def _ctx():
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_tensor_extension_casting = False
+    ctx.enable_progress_bars = False
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _doc_ids_ds(sf_dir: str):
+    return _read(sf_dir, "documents", columns=["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# flagship entry
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: crawl the fixture web sized from sf0.001 documents and
+    return the resulting Lance-style image+caption table as a Dataset."""
+    _ctx()
+    out_dir = _run_crawl_cached("/root/testdata/sf0.001")
+    from spider_ray.sources.storage import EpochStore
+
+    images = EpochStore(out_dir).read_all("images")
+    return ray.data.from_arrow(images)
+
+
+# ---------------------------------------------------------------------------
+# crawl (cached once per sf_dir — deterministic)
+# ---------------------------------------------------------------------------
+
+_CRAWL_CACHE: dict[str, str] = {}
+
+
+def _run_crawl_cached(sf_dir: str) -> str:
+    if sf_dir in _CRAWL_CACHE:
+        return _CRAWL_CACHE[sf_dir]
+    from spider_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from spider_ray.sources.fixtures import MockWebConfig, seed_urls
+
+    n_pages = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    cfg = MockWebConfig(
+        n_pages=n_pages, n_hosts=CRAWL_HOSTS, img_every=CRAWL_IMG_EVERY
+    )
+    out_dir = f"/tmp/spider_ray_crawl/{os.path.basename(os.path.normpath(sf_dir))}"
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    config = CrawlConfig(
+        out_dir=out_dir,
+        seeds=seed_urls(cfg, every=CRAWL_SEED_EVERY),
+        web=cfg,
+        wave_k=10_000_000,
+        exact_seen=True,
+        use_bloom=False,
+        fetch_concurrency=8,
+        fetch_batch_size=512,
+        max_epochs=128,
+    )
+    run_crawl(config)
+    _CRAWL_CACHE[sf_dir] = out_dir
+    return out_dir
+
+
+# the BFS closure of the fixture graph as SQL (shared CTE prefix)
+_CLOSURE_SQL = f"""
+WITH RECURSIVE params AS (SELECT count(*)::BIGINT AS n FROM documents),
+seeds AS (SELECT doc_id AS id FROM documents WHERE doc_id % {CRAWL_SEED_EVERY} = 0),
+reach(id, depth) AS (
+    SELECT id, 0 FROM seeds
+    UNION
+    SELECT unnest([(2*r.id+1) % p.n, (3*r.id+7) % p.n, (5*r.id+3) % p.n]),
+           r.depth + 1
+    FROM reach r, params p
+    WHERE r.depth < 100
+),
+closure AS (SELECT id, min(depth) AS epoch FROM reach GROUP BY id),
+crawl_nodes AS (
+    SELECT 'http://h' || (id % {CRAWL_HOSTS}) || '.test/p/' || id AS url,
+           epoch
+    FROM closure
+    UNION ALL
+    SELECT 'http://h' || (id % {CRAWL_HOSTS}) || '.test/img/' || id ||
+           (CASE WHEN id % 2 = 0 THEN '.png' ELSE '.jpg' END) AS url,
+           epoch + 1 AS epoch
+    FROM closure WHERE id % {CRAWL_IMG_EVERY} = 0
+)
+"""
+
+
+def _q_crawl_order(sf_dir: str) -> pa.Table:
+    _ctx()
+    from spider_ray.sources.storage import EpochStore
+
+    store = EpochStore(_run_crawl_cached(sf_dir))
+    order = store.read_all("order")
+    return order.select(["epoch", "seq", "url"]).cast(
+        pa.schema([("epoch", pa.int64()), ("seq", pa.int64()), ("url", pa.string())])
+    )
+
+
+_SQL_CRAWL_ORDER = _CLOSURE_SQL + """
+SELECT epoch::BIGINT AS epoch,
+       (row_number() OVER (
+            PARTITION BY epoch
+            ORDER BY (('0x' || substr(md5(url), 1, 8))::BIGINT % 1000) DESC,
+                     ('0x' || substr(md5(url), 1, 16))::UBIGINT ASC
+        ) - 1)::BIGINT AS seq,
+       url
+FROM crawl_nodes
+"""
+
+
+def _q_crawl_captions(sf_dir: str) -> pa.Table:
+    _ctx()
+    from spider_ray.sources.storage import EpochStore
+
+    images = EpochStore(_run_crawl_cached(sf_dir)).read_all("images")
+    return images.select(["image_id", "caption", "fmt", "w", "h"]).cast(
+        pa.schema(
+            [("image_id", pa.string()), ("caption", pa.string()),
+             ("fmt", pa.string()), ("w", pa.int64()), ("h", pa.int64())]
+        )
+    )
+
+
+_SQL_CRAWL_CAPTIONS = _CLOSURE_SQL + f"""
+SELECT 'http://h' || (id % {CRAWL_HOSTS}) || '.test/img/' || id ||
+       (CASE WHEN id % 2 = 0 THEN '.png' ELSE '.jpg' END) AS image_id,
+       'caption for image ' || id || ' on host ' || (id % {CRAWL_HOSTS}) AS caption,
+       (CASE WHEN id % 2 = 0 THEN 'png' ELSE 'jpeg' END) AS fmt,
+       32::BIGINT AS w, 32::BIGINT AS h
+FROM closure WHERE id % {CRAWL_IMG_EVERY} = 0
+"""
+
+
+def _q_crawl_lineage(sf_dir: str) -> pa.Table:
+    _ctx()
+    from spider_ray.sources.storage import EpochStore
+
+    lineage = EpochStore(_run_crawl_cached(sf_dir)).read_all("lineage")
+    df = lineage.to_pandas()
+    fetch = df[df["stage"] == "fetch"].groupby("epoch", as_index=False)["rows_in"].sum()
+    fetch = fetch.rename(columns={"rows_in": "n_fetched"})
+    return pa.table(
+        {
+            "epoch": pa.array(fetch["epoch"].astype("int64")),
+            "n_fetched": pa.array(fetch["n_fetched"].astype("int64")),
+        }
+    )
+
+
+_SQL_CRAWL_LINEAGE = _CLOSURE_SQL + """
+SELECT epoch::BIGINT AS epoch, count(*)::BIGINT AS n_fetched
+FROM crawl_nodes GROUP BY epoch
+"""
+
+
+# ---------------------------------------------------------------------------
+# URL / link / detector operators over the derived corpus
+# ---------------------------------------------------------------------------
+
+def _raw_url(d: int) -> str:
+    h = d % N_URL_HOSTS
+    v = d % 4
+    if v == 0:
+        return f"HTTP://H{h}.Test:80/p/{d}#frag"
+    if v == 1:
+        return f"http://h{h}.test:8080/p/{d}"
+    if v == 2:
+        return f"http://h{h}.test/download/doc{d}"
+    return f"http://h{h}.test/p/{d}?q={d}"
+
+
+def _q_canonicalize(sf_dir: str) -> pa.Table:
+    _ctx()
+    from spider_ray.functions.urls import canonicalize_url, host_of
+
+    def run(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        canon = [canonicalize_url(_raw_url(d)) for d in ids]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "url": pa.array(canon, pa.string()),
+                "host": pa.array([host_of(u) for u in canon], pa.string()),
+            }
+        )
+
+    return _collect(_doc_ids_ds(sf_dir).map_batches(run, batch_format="pyarrow"))
+
+
+_SQL_CANONICALIZE = f"""
+SELECT doc_id,
+  CASE doc_id % 4
+    WHEN 0 THEN 'http://h' || (doc_id % {N_URL_HOSTS}) || '.test/p/' || doc_id
+    WHEN 1 THEN 'http://h' || (doc_id % {N_URL_HOSTS}) || '.test:8080/p/' || doc_id
+    WHEN 2 THEN 'http://h' || (doc_id % {N_URL_HOSTS}) || '.test/download/doc' || doc_id || '/'
+    ELSE 'http://h' || (doc_id % {N_URL_HOSTS}) || '.test/p/' || doc_id || '?q=' || doc_id
+  END AS url,
+  'h' || (doc_id % {N_URL_HOSTS}) || '.test' AS host
+FROM documents
+"""
+
+
+def _simple_urls_table(batch: pa.Table) -> tuple[list[int], list[str]]:
+    ids = batch.column("doc_id").to_pylist()
+    return ids, [f"http://h{d % N_URL_HOSTS}.test/p/{d}" for d in ids]
+
+
+def _q_url_hash_shards(sf_dir: str) -> pa.Table:
+    _ctx()
+    from spider_ray.functions.urls import url_hash64, url_hash_hex
+
+    def run(batch: pa.Table) -> pa.Table:
+        ids, urls = _simple_urls_table(batch)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "url_hash_hex": pa.array([url_hash_hex(u) for u in urls], pa.string()),
+                "shard": pa.array(
+                    [url_hash64(u) % 16 for u in urls], pa.int64()
+                ),
+            }
+        )
+
+    return _collect(_doc_ids_ds(sf_dir).map_batches(run, batch_format="pyarrow"))
+
+
+_SQL_URL_HASH_SHARDS = f"""
+SELECT doc_id,
+  substr(md5('http://h' || (doc_id % {N_URL_HOSTS}) || '.test/p/' || doc_id), 1, 16) AS url_hash_hex,
+  (('0x' || substr(md5('http://h' || (doc_id % {N_URL_HOSTS}) || '.test/p/' || doc_id), 1, 16))::UBIGINT % 16)::BIGINT AS shard
+FROM documents
+"""
+
+
+def _link_html(d: int) -> tuple[str, str]:
+    """(html, base_url) for the link-extraction corpus."""
+    h = d % N_URL_HOSTS
+    skip = " skip" if d % 7 == 0 else ""
+    html = (
+        f'<html><body><a href="/p/{2 * d}" title="t{d}">first {d}</a>'
+        f'<a href="/p/{2 * d}">dup</a>'
+        f'<a href="/p/{2 * d + 1}?a=1&amp;b=2" rel="nofollow">second {d}{skip}</a>'
+        "</body></html>"
+    )
+    return html, f"http://h{h}.test/base/"
+
+
+def _q_extract_links(sf_dir: str) -> pa.Table:
+    _ctx()
+    from spider_ray.functions.links import extract_html_links
+
+    def run(batch: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "href": [], "text": [], "rel": []}
+        for d in batch.column("doc_id").to_pylist():
+            html, base = _link_html(d)
+            for link in extract_html_links(html, base):
+                out["doc_id"].append(d)
+                out["href"].append(link.href)
+                out["text"].append(link.text)
+                out["rel"].append(link.rel)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "href": pa.array(out["href"], pa.string()),
+                "text": pa.array(out["text"], pa.string()),
+                "rel": pa.array(out["rel"], pa.string()),
+            }
+        )
+
+    return _collect(_doc_ids_ds(sf_dir).map_batches(run, batch_format="pyarrow"))
+
+
+_SQL_EXTRACT_LINKS = f"""
+SELECT doc_id,
+       'http://h' || (doc_id % {N_URL_HOSTS}) || '.test/p/' || (2*doc_id) AS href,
+       'first ' || doc_id AS text,
+       NULL::VARCHAR AS rel
+FROM documents
+UNION ALL
+SELECT doc_id,
+       'http://h' || (doc_id % {N_URL_HOSTS}) || '.test/p/' || (2*doc_id+1) || '?a=1&b=2' AS href,
+       'second ' || doc_id || (CASE WHEN doc_id % 7 = 0 THEN ' skip' ELSE '' END) AS text,
+       'nofollow' AS rel
+FROM documents
+"""
+
+
+def _q_filter_links(sf_dir: str) -> pa.Table:
+    _ctx()
+    from spider_ray.functions.links import LinkFilterConfig, extract_html_links, filter_links
+
+    cfg = LinkFilterConfig(url_contains=["/p/"], excludes=["skip"])
+
+    def run(batch: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "href": []}
+        for d in batch.column("doc_id").to_pylist():
+            html, base = _link_html(d)
+            for link in filter_links(extract_html_links(html, base), cfg):
+                out["doc_id"].append(d)
+                out["href"].append(link.href)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "href": pa.array(out["href"], pa.string()),
+            }
+        )
+
+    return _collect(_doc_ids_ds(sf_dir).map_batches(run, batch_format="pyarrow"))
+
+
+_SQL_FILTER_LINKS = f"""
+SELECT doc_id,
+       'http://h' || (doc_id % {N_URL_HOSTS}) || '.test/p/' || (2*doc_id) AS href
+FROM documents
+UNION ALL
+SELECT doc_id,
+       'http://h' || (doc_id % {N_URL_HOSTS}) || '.test/p/' || (2*doc_id+1) || '?a=1&b=2' AS href
+FROM documents WHERE doc_id % 7 <> 0
+"""
+
+
+def _q_detect_documents(sf_dir: str) -> pa.Table:
+    _ctx()
+    from spider_ray.functions.detectors import detect_document_url
+
+    def run(batch: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "strategy": [], "detected_url": [], "mime_type": [], "is_pdf": []}
+        for d in batch.column("doc_id").to_pylist():
+            h = d % N_URL_HOSTS
+            v = d % 4
+            if v == 0:
+                url = f"http://h{h}.test/pg/{d}"
+                html = f'<div class="wpdm-download-link"><a href="/download/f{d}/?wpdmdl={d}">x</a></div>'
+            elif v == 1:
+                url = f"http://h{h}.test/filepro/documents/?preview={d}"
+                html = f'<a href="/filepro/document/{d}/Agenda.pdf">a</a>'
+            elif v == 2:
+                url = f"http://h{h}.test/pg/{d}"
+                html = f'DocuShare <a href="/dsweb/Get/Document-{d}/file{d}.xlsx">b</a>'
+            else:
+                url = f"http://h{h}.test/pg/{d}"
+                html = "<html><body>plain</body></html>"
+            hit = detect_document_url(url, html)
+            out["doc_id"].append(d)
+            out["strategy"].append(hit.strategy if hit else None)
+            out["detected_url"].append(hit.url if hit else None)
+            out["mime_type"].append(hit.type if hit else None)
+            # string not bool: nullable-bool null semantics differ between
+            # pandas (None) and duckdb (NaN) under the driver's hashing
+            out["is_pdf"].append(("true" if hit.is_pdf else "false") if hit else None)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "strategy": pa.array(out["strategy"], pa.string()),
+                "detected_url": pa.array(out["detected_url"], pa.string()),
+                "mime_type": pa.array(out["mime_type"], pa.string()),
+                "is_pdf": pa.array(out["is_pdf"], pa.string()),
+            }
+        )
+
+    return _collect(_doc_ids_ds(sf_dir).map_batches(run, batch_format="pyarrow"))
+
+
+_SQL_DETECT_DOCUMENTS = f"""
+SELECT doc_id,
+  CASE doc_id % 4
+    WHEN 0 THEN 'wordpress-pdf-link'
+    WHEN 1 THEN 'civicweb-pdf-link'
+    WHEN 2 THEN 'docushare-doc-link'
+    ELSE NULL END AS strategy,
+  CASE doc_id % 4
+    WHEN 0 THEN 'http://h' || (doc_id % {N_URL_HOSTS}) || '.test/download/f' || doc_id || '/?wpdmdl=' || doc_id
+    WHEN 1 THEN 'http://h' || (doc_id % {N_URL_HOSTS}) || '.test/filepro/document/' || doc_id || '/Agenda.pdf'
+    WHEN 2 THEN 'http://h' || (doc_id % {N_URL_HOSTS}) || '.test/dsweb/Get/Document-' || doc_id || '/file' || doc_id || '.xlsx'
+    ELSE NULL END AS detected_url,
+  CASE doc_id % 4
+    WHEN 0 THEN 'application/pdf'
+    WHEN 1 THEN 'application/pdf'
+    WHEN 2 THEN 'application/octet-stream'
+    ELSE NULL END AS mime_type,
+  CASE doc_id % 4
+    WHEN 0 THEN 'true' WHEN 1 THEN 'true' WHEN 2 THEN 'false'
+    ELSE NULL END AS is_pdf
+FROM documents
+"""
+
+
+def _q_strip_html_text(sf_dir: str) -> pa.Table:
+    _ctx()
+    from spider_ray.functions.text import strip_html_to_text
+
+    def run(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        html = [
+            f"<html><head><script>var x=1;</script><style>.a{{}}</style></head>"
+            f"<body><p>{t}</p></body></html>"
+            for t in texts
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([strip_html_to_text(h) for h in html], pa.string()),
+            }
+        )
+
+    return _collect(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+            run, batch_format="pyarrow"
+        )
+    )
+
+
+_SQL_STRIP_HTML_TEXT = r"""
+SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS text FROM documents
+"""
+
+
+def _q_extract_metadata(sf_dir: str) -> pa.Table:
+    _ctx()
+    from spider_ray.functions.text import extract_html_metadata
+
+    def run(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        sources = batch.column("source").to_pylist()
+        out_t, out_d = [], []
+        for d, s in zip(ids, sources):
+            html = (
+                f"<head><title> Doc {d} </title>"
+                f'<meta name="description" content="{s}"></head>'
+            )
+            meta = extract_html_metadata(html)
+            out_t.append(meta["title"])
+            out_d.append(meta["description"])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "title": pa.array(out_t, pa.string()),
+                "description": pa.array(out_d, pa.string()),
+            }
+        )
+
+    return _collect(
+        _read(sf_dir, "documents", columns=["doc_id", "source"]).map_batches(
+            run, batch_format="pyarrow"
+        )
+    )
+
+
+_SQL_EXTRACT_METADATA = """
+SELECT doc_id, 'Doc ' || doc_id AS title, source AS description FROM documents
+"""
+
+
+def _q_infer_mime(sf_dir: str) -> pa.Table:
+    _ctx()
+    from spider_ray.functions.mime import infer_content_type
+
+    exts = [".pdf", ".docx", ".zip", ".png", ".mp4", ".xyz"]
+
+    def run(batch: pa.Table) -> pa.Table:
+        keys = batch.column("p_partkey").to_pylist()
+        files = [f"file_{k}{exts[k % 6]}" for k in keys]
+        return pa.table(
+            {
+                "p_partkey": pa.array(keys, pa.int64()),
+                "filename": pa.array(files, pa.string()),
+                "mime": pa.array([infer_content_type(f) for f in files], pa.string()),
+            }
+        )
+
+    return _collect(
+        _read(sf_dir, "part", columns=["p_partkey"]).map_batches(run, batch_format="pyarrow")
+    )
+
+
+_SQL_INFER_MIME = """
+SELECT p_partkey,
+  'file_' || p_partkey ||
+    (CASE p_partkey % 6 WHEN 0 THEN '.pdf' WHEN 1 THEN '.docx' WHEN 2 THEN '.zip'
+      WHEN 3 THEN '.png' WHEN 4 THEN '.mp4' ELSE '.xyz' END) AS filename,
+  CASE p_partkey % 6
+    WHEN 0 THEN 'application/pdf'
+    WHEN 1 THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
+    WHEN 2 THEN 'application/zip'
+    WHEN 3 THEN 'image/png'
+    WHEN 4 THEN 'video/mp4'
+    ELSE 'application/octet-stream' END AS mime
+FROM part
+"""
+
+
+def _q_normalize_download_urls(sf_dir: str) -> pa.Table:
+    _ctx()
+    from spider_ray.functions.urls import normalize_download_page_url
+
+    def run(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        urls = []
+        for d in ids:
+            h = d % N_URL_HOSTS
+            v = d % 4
+            if v == 0:
+                urls.append(f"http://h{h}.test/download/doc{d}")
+            elif v == 1:
+                urls.append(f"http://h{h}.test/download/doc{d}.pdf")
+            elif v == 2:
+                urls.append(f"http://h{h}.test/download/doc{d}?x=1")
+            else:
+                urls.append(f"http://h{h}.test/page{d}")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "url": pa.array(
+                    [normalize_download_page_url(u) for u in urls], pa.string()
+                ),
+            }
+        )
+
+    return _collect(_doc_ids_ds(sf_dir).map_batches(run, batch_format="pyarrow"))
+
+
+_SQL_NORMALIZE_DOWNLOAD = f"""
+SELECT doc_id,
+  CASE doc_id % 4
+    WHEN 0 THEN 'http://h' || (doc_id % {N_URL_HOSTS}) || '.test/download/doc' || doc_id || '/'
+    WHEN 1 THEN 'http://h' || (doc_id % {N_URL_HOSTS}) || '.test/download/doc' || doc_id || '.pdf'
+    WHEN 2 THEN 'http://h' || (doc_id % {N_URL_HOSTS}) || '.test/download/doc' || doc_id || '?x=1'
+    ELSE 'http://h' || (doc_id % {N_URL_HOSTS}) || '.test/page' || doc_id
+  END AS url
+FROM documents
+"""
+
+
+def _q_cache_keys(sf_dir: str) -> pa.Table:
+    _ctx()
+    from spider_ray.functions.cachekey import create_cache_key
+
+    def run(batch: pa.Table) -> pa.Table:
+        ids, urls = _simple_urls_table(batch)
+        keys = [create_cache_key("simple", u, [{"adapter": "simple"}]) for u in urls]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "cache_key": pa.array(keys, pa.string()),
+            }
+        )
+
+    return _collect(_doc_ids_ds(sf_dir).map_batches(run, batch_format="pyarrow"))
+
+
+_SQL_CACHE_KEYS = f"""
+SELECT doc_id,
+  'simple:' || sha256(
+    '{{"parts":["{{\\"adapter\\":\\"simple\\"}}"],"url":"http://h' ||
+    (doc_id % {N_URL_HOSTS}) || '.test/p/' || doc_id || '"}}'
+  ) AS cache_key
+FROM documents
+"""
+
+
+def _q_frontier_host_agg(sf_dir: str) -> pa.Table:
+    _ctx()
+    from spider_ray.stages.parse import priority_of
+
+    def run(batch: pa.Table) -> pa.Table:
+        ids, urls = _simple_urls_table(batch)
+        return pa.table(
+            {
+                "host": pa.array([f"h{d % N_URL_HOSTS}.test" for d in ids], pa.string()),
+                "priority": pa.array([priority_of(u) for u in urls], pa.float64()),
+            }
+        )
+
+    frontier = _doc_ids_ds(sf_dir).map_batches(run, batch_format="pyarrow")
+    from ray.data.aggregate import Count, Max, Min
+
+    agg = frontier.groupby("host").aggregate(
+        Count(alias_name="n"),
+        Min("priority", alias_name="min_priority"),
+        Max("priority", alias_name="max_priority"),
+    )
+    df = agg.to_pandas()
+    return pa.table(
+        {
+            "host": pa.array(df["host"], pa.string()),
+            "n": pa.array(df["n"].astype("int64")),
+            "min_priority": pa.array(df["min_priority"], pa.float64()),
+            "max_priority": pa.array(df["max_priority"], pa.float64()),
+        }
+    )
+
+
+_PRIORITY_SQL = (
+    "((('0x' || substr(md5('http://h' || (doc_id % {nh}) || '.test/p/' || doc_id), 1, 8))::BIGINT % 1000) / 1000.0)"
+).format(nh=N_URL_HOSTS)
+
+_SQL_FRONTIER_HOST_AGG = f"""
+SELECT 'h' || (doc_id % {N_URL_HOSTS}) || '.test' AS host,
+       count(*)::BIGINT AS n,
+       min({_PRIORITY_SQL}) AS min_priority,
+       max({_PRIORITY_SQL}) AS max_priority
+FROM documents GROUP BY host
+"""
+
+
+def _q_wave_cut(sf_dir: str) -> pa.Table:
+    _ctx()
+    from spider_ray.functions.urls import url_hash_hex
+    from spider_ray.stages.parse import priority_of
+
+    def run(batch: pa.Table) -> pa.Table:
+        ids, urls = _simple_urls_table(batch)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "priority": pa.array([priority_of(u) for u in urls], pa.float64()),
+                "url_hash_hex": pa.array([url_hash_hex(u) for u in urls], pa.string()),
+            }
+        )
+
+    ds = _doc_ids_ds(sf_dir).map_batches(run, batch_format="pyarrow")
+    top = ds.sort(["priority", "url_hash_hex"], descending=[True, False]).limit(100)
+    return pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+
+
+_SQL_WAVE_CUT = f"""
+SELECT 'http://h' || (doc_id % {N_URL_HOSTS}) || '.test/p/' || doc_id AS url,
+       {_PRIORITY_SQL} AS priority,
+       substr(md5('http://h' || (doc_id % {N_URL_HOSTS}) || '.test/p/' || doc_id), 1, 16) AS url_hash_hex
+FROM documents
+ORDER BY priority DESC, url_hash_hex ASC
+LIMIT 100
+"""
+
+
+def _q_seen_dedup(sf_dir: str) -> pa.Table:
+    _ctx()
+
+    def run(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        urls = [
+            f"http://h{(d % 997) % N_URL_HOSTS}.test/p/{d % 997}" for d in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "url": pa.array(urls, pa.string()),
+            }
+        )
+
+    ds = _doc_ids_ds(sf_dir).map_batches(run, batch_format="pyarrow")
+
+    def keep_min(group: pd.DataFrame) -> pd.DataFrame:
+        return group.nsmallest(1, "doc_id")
+
+    out = ds.groupby("url").map_groups(keep_min, batch_format="pandas").to_pandas()
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].astype("int64")),
+            "url": pa.array(out["url"], pa.string()),
+        }
+    )
+
+
+_SQL_SEEN_DEDUP = f"""
+SELECT min(doc_id) AS doc_id,
+       'http://h' || ((doc_id % 997) % {N_URL_HOSTS}) || '.test/p/' || (doc_id % 997) AS url
+FROM documents GROUP BY url
+"""
+
+
+def _q_status_gate(sf_dir: str) -> pa.Table:
+    _ctx()
+    import pyarrow.compute as pc
+
+    def run(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        status = [404 if d % 10 == 7 else (503 if d % 10 == 8 else 200) for d in ids]
+        return pa.table(
+            {
+                "host": pa.array([f"h{d % N_URL_HOSTS}.test" for d in ids], pa.string()),
+                "status": pa.array(status, pa.int32()),
+            }
+        )
+
+    ds = _doc_ids_ds(sf_dir).map_batches(run, batch_format="pyarrow")
+    ok = ds.map_batches(
+        lambda t: t.filter(pc.less(t.column("status"), 400)), batch_format="pyarrow"
+    )
+    from ray.data.aggregate import Count
+
+    df = ok.groupby("host").aggregate(Count(alias_name="n_ok")).to_pandas()
+    return pa.table(
+        {
+            "host": pa.array(df["host"], pa.string()),
+            "n_ok": pa.array(df["n_ok"].astype("int64")),
+        }
+    )
+
+
+_SQL_STATUS_GATE = f"""
+SELECT 'h' || (doc_id % {N_URL_HOSTS}) || '.test' AS host, count(*)::BIGINT AS n_ok
+FROM documents WHERE doc_id % 10 NOT IN (7, 8)
+GROUP BY host
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data text ops
+# ---------------------------------------------------------------------------
+
+def _q_token_counts(sf_dir: str) -> pa.Table:
+    _ctx()
+    from spider_ray.pipelines.textops import token_count_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        token_count_batch, batch_format="pyarrow"
+    )
+    out = _collect(ds).select(["doc_id", "n_tokens"])
+    return out
+
+
+_SQL_TOKEN_COUNTS = r"""
+SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens
+FROM documents
+"""
+
+
+def _q_text_stats(sf_dir: str) -> pa.Table:
+    _ctx()
+    from spider_ray.pipelines.textops import text_stats_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        text_stats_batch, batch_format="pyarrow"
+    )
+    out = _collect(ds).select(
+        ["doc_id", "n_chars_actual", "n_words", "mean_word_len", "alpha_ratio"]
+    )
+    return out
+
+
+_SQL_TEXT_STATS = r"""
+SELECT doc_id,
+  length(text)::BIGINT AS n_chars_actual,
+  len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_words,
+  (length(trim(regexp_replace(text, '\s+', '', 'g')))::DOUBLE /
+   len(regexp_split_to_array(trim(text), '\s+'))) AS mean_word_len,
+  (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)) AS alpha_ratio
+FROM documents
+"""
+
+
+def _q_dedup_exact_docs(sf_dir: str) -> pa.Table:
+    _ctx()
+    from spider_ray.pipelines.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = exact_dedup(ds).to_pandas()
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].astype("int64")),
+            "text": pa.array(out["text"], pa.string()),
+        }
+    )
+
+
+_SQL_DEDUP_EXACT_DOCS = """
+SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+"""
+
+
+def _q_lang_quality(sf_dir: str) -> pa.Table:
+    _ctx()
+    from spider_ray.pipelines.textops import lang_quality_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lang_quality_batch, batch_format="pyarrow"
+    )
+    return _collect(ds).select(["doc_id", "lang_pred", "quality"])
+
+
+def _q_fingerprints(sf_dir: str) -> pa.Table:
+    _ctx()
+    from spider_ray.pipelines.textops import fingerprint_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    )
+    return _collect(ds).select(["doc_id", "fingerprint"])
+
+
+def _q_minhash_pairs(sf_dir: str) -> pa.Table:
+    _ctx()
+    from spider_ray.pipelines.dedup import minhash_lsh_pairs
+
+    raw = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(raw.column("doc_id").to_pylist(), raw.column("text").to_pylist()))
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = minhash_lsh_pairs(ds, texts_by_id=texts, verify_threshold=0.8)
+    return out.select(["id_a", "id_b"])
+
+
+def _q_simhash_pairs(sf_dir: str) -> pa.Table:
+    _ctx()
+    from spider_ray.pipelines.dedup import simhash_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_pairs(ds).select(["id_a", "id_b", "hamming"])
+
+
+def _q_embedding_neardup(sf_dir: str) -> pa.Table:
+    _ctx()
+    from spider_ray.pipelines.dedup import embedding_neardup_pairs
+
+    ds = _read(sf_dir, "embeddings")
+    out = embedding_neardup_pairs(ds, threshold=0.95)
+    return out.select(["id_a", "id_b"])
+
+
+def _q_ann_topk(sf_dir: str) -> pa.Table:
+    _ctx()
+    from spider_ray.pipelines.ann import brute_force_topk
+
+    raw = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    queries = np.stack(raw.sort_values("vec_id").head(3)["embedding"].to_numpy())
+    ds = _read(sf_dir, "embeddings")
+    out = brute_force_topk(ds, queries, k=10).to_pandas()
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"].astype("int64")),
+            "rank": pa.array(out["rank"].astype("int64")),
+            "vec_id": pa.array(out["vec_id"].astype("int64")),
+        }
+    )
+
+
+_SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding, q.embedding) AS cos
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) - 1 AS rank
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, vec_id FROM ranked WHERE rank < 10
+"""
+
+
+def _q_ivf_topk(sf_dir: str) -> pa.Table:
+    _ctx()
+    from spider_ray.pipelines.ann import ivf_topk
+
+    raw = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    queries = np.stack(raw.sort_values("vec_id").head(3)["embedding"].to_numpy())
+    ds = _read(sf_dir, "embeddings")
+    out = ivf_topk(ds, queries, k=10, n_cells=16, n_probe=8).to_pandas()
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"].astype("int64")),
+            "rank": pa.array(out["rank"].astype("int64")),
+            "vec_id": pa.array(out["vec_id"].astype("int64")),
+        }
+    )
+
+
+def _q_image_decode_stats(sf_dir: str) -> pa.Table:
+    _ctx()
+    from spider_ray.sources.fixtures import MockWeb, MockWebConfig
+    from spider_ray.stages.images import DecodeStats
+
+    n = min(500, pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows)
+    web = MockWeb(MockWebConfig(n_pages=n))
+    rows = [web.expected_image_row(i) for i in range(0, n, CRAWL_IMG_EVERY)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = ds.map_batches(
+        DecodeStats, batch_size=64, concurrency=2, batch_format="pyarrow"
+    )
+    return _collect(out).select(["image_id", "dec_w", "dec_h", "dec_fmt", "dec_phash"])
+
+
+# ---------------------------------------------------------------------------
+# events / relational
+# ---------------------------------------------------------------------------
+
+def _q_events_hour_agg(sf_dir: str) -> pa.Table:
+    _ctx()
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "hour": (batch["ts"].astype("int64") // 10**6 // 3600).astype("int64"),
+                "cents": _half_up(batch["value"].to_numpy() * 100).astype("int64"),
+            }
+        )
+        return out
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"]).map_batches(
+        prep, batch_format="pandas"
+    )
+    from spider_ray.pipelines.relational import preagg_sum
+
+    out = preagg_sum(ds, ["event_type", "hour"], ["cents"], count_alias="n").to_pandas()
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "hour": pa.array(out["hour"].astype("int64")),
+            "cents": pa.array(out["cents"].astype("int64")),
+            "n": pa.array(out["n"].astype("int64")),
+        }
+    )
+
+
+_SQL_EVENTS_HOUR_AGG = """
+SELECT event_type,
+       (CAST(floor(epoch(ts)) AS BIGINT) // 3600)::BIGINT AS hour,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents,
+       count(*)::BIGINT AS n
+FROM events GROUP BY event_type, hour
+"""
+
+
+def _q_events_topk_users(sf_dir: str) -> pa.Table:
+    _ctx()
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"],
+                "cents": _half_up(batch["value"].to_numpy() * 100).astype("int64"),
+            }
+        )
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"]).map_batches(
+        prep, batch_format="pandas"
+    )
+    from spider_ray.pipelines.relational import preagg_sum
+
+    agg = preagg_sum(ds, ["user_id"], ["cents"]).to_pandas()
+    agg = agg.sort_values(["cents", "user_id"], ascending=[False, True]).head(10)
+    return pa.table(
+        {
+            "user_id": pa.array(agg["user_id"].astype("int64")),
+            "cents": pa.array(agg["cents"].astype("int64")),
+        }
+    )
+
+
+_SQL_EVENTS_TOPK_USERS = """
+SELECT user_id, sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+FROM events GROUP BY user_id
+ORDER BY cents DESC, user_id ASC LIMIT 10
+"""
+
+
+def _q_broadcast_revenue(sf_dir: str) -> pa.Table:
+    _ctx()
+    from spider_ray.pipelines.relational import broadcast_join, preagg_sum
+
+    customers = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    customers = customers.rename(columns={"c_custkey": "o_custkey"})
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": batch["o_custkey"],
+                "cents": _half_up(batch["o_totalprice"].to_numpy() * 100).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        prep, batch_format="pandas"
+    )
+    joined = broadcast_join(orders, customers, on="o_custkey", take_cols=["c_mktsegment"])
+    out = preagg_sum(joined, ["c_mktsegment"], ["cents"], count_alias="n_orders").to_pandas()
+    return pa.table(
+        {
+            "c_mktsegment": pa.array(out["c_mktsegment"], pa.string()),
+            "cents": pa.array(out["cents"].astype("int64")),
+            "n_orders": pa.array(out["n_orders"].astype("int64")),
+        }
+    )
+
+
+_SQL_BROADCAST_REVENUE = """
+SELECT c.c_mktsegment,
+       sum(CAST(round(o.o_totalprice * 100) AS BIGINT))::BIGINT AS cents,
+       count(*)::BIGINT AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def _q_partitioned_join(sf_dir: str) -> pa.Table:
+    _ctx()
+    from spider_ray.pipelines.relational import bucketed_hash_join, preagg_sum
+
+    def prep_li(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch["l_orderkey"],
+                "qty": batch["l_quantity"].astype("int64"),
+            }
+        )
+
+    lineitem = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]).map_batches(
+        prep_li, batch_format="pandas"
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = bucketed_hash_join(
+        lineitem, orders, on="o_orderkey",
+        left_cols=["qty"], right_cols=["o_orderpriority"], n_buckets=16,
+    )
+    out = preagg_sum(joined, ["o_orderpriority"], ["qty"], count_alias="n").to_pandas()
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(out["o_orderpriority"], pa.string()),
+            "qty": pa.array(out["qty"].astype("int64")),
+            "n": pa.array(out["n"].astype("int64")),
+        }
+    )
+
+
+_SQL_PARTITIONED_JOIN = """
+SELECT o.o_orderpriority,
+       sum(CAST(l.l_quantity AS BIGINT))::BIGINT AS qty,
+       count(*)::BIGINT AS n
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+def _q_lineitem_agg(sf_dir: str) -> pa.Table:
+    _ctx()
+    from spider_ray.pipelines.relational import preagg_sum
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": batch["l_quantity"].astype("int64"),
+                "price_cents": _half_up(
+                    batch["l_extendedprice"].to_numpy() * 100
+                ).astype("int64"),
+            }
+        )
+
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    ).map_batches(prep, batch_format="pandas")
+    out = preagg_sum(
+        ds, ["l_returnflag", "l_linestatus"], ["qty", "price_cents"], count_alias="n"
+    ).to_pandas()
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+            "l_linestatus": pa.array(out["l_linestatus"], pa.string()),
+            "qty": pa.array(out["qty"].astype("int64")),
+            "price_cents": pa.array(out["price_cents"].astype("int64")),
+            "n": pa.array(out["n"].astype("int64")),
+        }
+    )
+
+
+_SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS BIGINT))::BIGINT AS qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS price_cents,
+       count(*)::BIGINT AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# helpers + registry
+# ---------------------------------------------------------------------------
+
+def _collect(ds) -> pa.Table:
+    refs = ds.to_arrow_refs()
+    tables = [ray.get(r) for r in refs]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return ds.schema().empty_table()
+    return pa.concat_tables(tables).combine_chunks()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # crawl engine (flagship)
+        "crawl_order": _q_crawl_order,
+        "crawl_captions": _q_crawl_captions,
+        "crawl_lineage": _q_crawl_lineage,
+        # URL / link / detector operators
+        "canonicalize_urls": _q_canonicalize,
+        "url_hash_shards": _q_url_hash_shards,
+        "extract_links": _q_extract_links,
+        "filter_links": _q_filter_links,
+        "detect_documents": _q_detect_documents,
+        "strip_html_text": _q_strip_html_text,
+        "extract_metadata": _q_extract_metadata,
+        "infer_mime": _q_infer_mime,
+        "normalize_download_urls": _q_normalize_download_urls,
+        "cache_keys": _q_cache_keys,
+        "frontier_host_agg": _q_frontier_host_agg,
+        "wave_cut_topk": _q_wave_cut,
+        "seen_dedup_exact": _q_seen_dedup,
+        "status_gate": _q_status_gate,
+        # training-data text ops
+        "token_counts": _q_token_counts,
+        "text_stats": _q_text_stats,
+        "dedup_exact_docs": _q_dedup_exact_docs,
+        "lang_quality": _q_lang_quality,
+        "fingerprints": _q_fingerprints,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_neardup": _q_embedding_neardup,
+        "ann_topk": _q_ann_topk,
+        "ivf_topk": _q_ivf_topk,
+        "image_decode_stats": _q_image_decode_stats,
+        # events / relational
+        "events_hour_agg": _q_events_hour_agg,
+        "events_topk_users": _q_events_topk_users,
+        "broadcast_revenue": _q_broadcast_revenue,
+        "partitioned_join": _q_partitioned_join,
+        "lineitem_agg": _q_lineitem_agg,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "crawl_order": _SQL_CRAWL_ORDER,
+        "crawl_captions": _SQL_CRAWL_CAPTIONS,
+        "crawl_lineage": _SQL_CRAWL_LINEAGE,
+        "canonicalize_urls": _SQL_CANONICALIZE,
+        "url_hash_shards": _SQL_URL_HASH_SHARDS,
+        "extract_links": _SQL_EXTRACT_LINKS,
+        "filter_links": _SQL_FILTER_LINKS,
+        "detect_documents": _SQL_DETECT_DOCUMENTS,
+        "strip_html_text": _SQL_STRIP_HTML_TEXT,
+        "extract_metadata": _SQL_EXTRACT_METADATA,
+        "infer_mime": _SQL_INFER_MIME,
+        "normalize_download_urls": _SQL_NORMALIZE_DOWNLOAD,
+        "cache_keys": _SQL_CACHE_KEYS,
+        "frontier_host_agg": _SQL_FRONTIER_HOST_AGG,
+        "wave_cut_topk": _SQL_WAVE_CUT,
+        "seen_dedup_exact": _SQL_SEEN_DEDUP,
+        "status_gate": _SQL_STATUS_GATE,
+        "token_counts": _SQL_TOKEN_COUNTS,
+        "text_stats": _SQL_TEXT_STATS,
+        "dedup_exact_docs": _SQL_DEDUP_EXACT_DOCS,
+        "ann_topk": _SQL_ANN_TOPK,
+        "events_hour_agg": _SQL_EVENTS_HOUR_AGG,
+        "events_topk_users": _SQL_EVENTS_TOPK_USERS,
+        "broadcast_revenue": _SQL_BROADCAST_REVENUE,
+        "partitioned_join": _SQL_PARTITIONED_JOIN,
+        "lineitem_agg": _SQL_LINEITEM_AGG,
+        # lang_quality / fingerprints / minhash_pairs / simhash_pairs /
+        # embedding_neardup / ivf_topk / image_decode_stats are deliberately
+        # non-SQL (heuristic / sketch / approximate / binary-decode) →
+        # rows-only checks.
+    }

@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Benchmarks for the spider_ray engine.
+
+Headline: the distributed crawl (fetch + parse + dedup + checkpoint) over
+the fixture web sized from $GRAFT_SF_DIR's documents table — the engine's
+flagship pipeline and the BASELINE.json metric (frontier-pages-fetched/s +
+dedup-checks/s). Sub-queries time representative operator pipelines.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N,
+   "pages_per_sec": ..., "dedup_checks_per_sec": ...}
+
+--scaling: runs the same job in two fresh processes at num_cpus=8 and 32
+and reports both throughputs + scaling efficiency (the sandbox stand-in
+for the N vs 4N cluster criterion — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_bench() -> dict:
+    import pyarrow.parquet as pq
+
+    import ray
+
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", 32))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.enable_tensor_extension_casting = False
+
+    # warm the OS page cache so we measure compute+shuffle, not first read
+    for t in ("documents", "embeddings", "events", "lineitem", "orders", "customer"):
+        pq.read_table(f"{sf_dir}/{t}.parquet")
+
+    timings: dict[str, float] = {}
+
+    # ---- headline: the crawl -------------------------------------------
+    from spider_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from spider_ray.sources.fixtures import MockWebConfig, seed_urls
+
+    n_pages = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    web = MockWebConfig(n_pages=n_pages, n_hosts=7, img_every=5)
+    out_dir = f"/tmp/spider_ray_bench/cpu{ncpu}"
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    config = CrawlConfig(
+        out_dir=out_dir,
+        seeds=seed_urls(web, every=50),
+        web=web,
+        wave_k=10_000_000,
+        exact_seen=False,  # scale mode: cuckoo-only authoritative filter
+        use_bloom=True,
+        n_seen_shards=8,
+        fetch_concurrency=max(4, ncpu - 4),
+        fetch_batch_size=256,
+        max_epochs=128,
+    )
+    t0 = time.perf_counter()
+    result = run_crawl(config)
+    crawl_sec = time.perf_counter() - t0
+    timings["crawl"] = round(crawl_sec, 3)
+
+    # ---- representative operator pipelines -----------------------------
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    for name in (
+        "token_counts",
+        "lineitem_agg",
+        "partitioned_join",
+        "broadcast_revenue",
+        "events_hour_agg",
+        "ann_topk",
+        "simhash_pairs",
+        "image_decode_stats",
+    ):
+        fn = entrymod.queries()[name]
+        t0 = time.perf_counter()
+        fn(sf_dir)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    payload = {
+        "metric": "crawl_wall_sec",
+        "value": timings["crawl"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+        "num_cpus": ncpu,
+        "pages_fetched": result.pages_fetched,
+        "images_written": result.images_written,
+        "dedup_checks": result.dedup_checks,
+        "pages_per_sec": round(result.pages_fetched / crawl_sec, 1),
+        "dedup_checks_per_sec": round(result.dedup_checks / crawl_sec, 1),
+        "epochs": result.epochs,
+    }
+    ray.shutdown()
+    return payload
+
+
+def run_scaling() -> dict:
+    """Same job at 8 and 32 CPUs in fresh processes → scaling efficiency."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    tp_lo = lo["pages_per_sec"]
+    tp_hi = hi["pages_per_sec"]
+    eff = (tp_hi / tp_lo) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "pages_per_sec_8": tp_lo,
+        "pages_per_sec_32": tp_hi,
+        "dedup_checks_per_sec_8": lo["dedup_checks_per_sec"],
+        "dedup_checks_per_sec_32": hi["dedup_checks_per_sec"],
+        "sf": lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

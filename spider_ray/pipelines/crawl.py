@@ -93,23 +93,52 @@ class CrawlConfig:
         return json.dumps(payload, sort_keys=True, default=str)
 
 
+_PAGE_SLIM_COLS = [
+    "url", "final_url", "url_hash", "host", "depth", "status", "content_type",
+    "filename", "fetched_at", "cache_hit", "strategy_type", "strategy_spider",
+    "confidence", "duration_ms", "link_count", "interaction_count", "complete",
+    "error",
+]
+
+
+def _process_pages(pages: pa.Table, keep_content: bool) -> dict:
+    """Full page rows → the four wave products (all per-row work happens
+    here, INSIDE the worker — the driver only concatenates)."""
+    candidates = extract_candidates_batch(pages)
+    images = images_from_pages_batch(pages)
+    documents = to_documents_batch(pages)
+    slim_cols = list(_PAGE_SLIM_COLS)
+    if keep_content:
+        slim_cols += ["content", "body_bytes"]
+    return {
+        "pages": pages.select(slim_cols),
+        "candidates": candidates,
+        "images": images,
+        "documents": documents,
+    }
+
+
 @ray.remote
 class FetchWorker:
-    """Persistent fetch+parse actor reused across waves.
+    """Persistent fetch+parse+extract actor reused across waves.
 
     Ray Data's ``map_batches`` builds a fresh actor pool per execution; the
     wave loop runs one execution per epoch, so for the stateful fetch stage
     (session/browser/cache — reference tears its browser down per URL,
     browser-runner.ts:335-338) we keep ONE pool alive for the whole crawl
-    and feed it wave slices round-robin. The Dataset path remains for waves
-    big enough to need streaming backpressure (CrawlConfig.fetch_mode).
+    and feed it wave slices round-robin. Everything per-row (fetch, link
+    parse, candidate hashing, document assembly, image decode) runs here;
+    the driver sees only slim columnar results. The Dataset path remains
+    for waves big enough to need streaming backpressure
+    (CrawlConfig.fetch_mode).
     """
 
     def __init__(self, web_config, adapter: str):
         self.stage = FetchStage(web_config=web_config, adapter=adapter)
 
-    def fetch_and_parse(self, batch: pa.Table) -> pa.Table:
-        return parse_links_batch(self.stage(batch))
+    def process(self, batch: pa.Table, keep_content: bool) -> dict:
+        pages = parse_links_batch(self.stage(batch))
+        return _process_pages(pages, keep_content)
 
     def stats(self) -> dict:
         return self.stage.stats()
@@ -284,24 +313,21 @@ def run_crawl(config: CrawlConfig, resume: bool = False) -> CrawlResult:
             epoch += 1
             continue
 
-        # ---- fetch + parse ----------------------------------------------
-        pages_table = _fetch_wave(wave, config, fetch_pool)
-        if pages_table is None or pages_table.num_rows == 0:
+        # ---- fetch + parse + extract (distributed, one pass) ------------
+        products = _fetch_wave(wave, config, fetch_pool)
+        if products is None or products["pages"].num_rows == 0:
             break
+        pages_table = products["pages"]
         pages_fetched += pages_table.num_rows
 
-        sink_pages = pages_table
-        if not config.keep_page_content:
-            sink_pages = sink_pages.drop_columns(["content", "body_bytes"])
-        store.write("pages", epoch, sink_pages)
-
-        images = images_from_pages_batch(pages_table)
+        write_refs = [store.write_async("pages", epoch, pages_table)]
+        images = products["images"]
         if images.num_rows:
-            store.write("images", epoch, images)
+            write_refs.append(store.write_async("images", epoch, images))
             images_written += images.num_rows
-        documents = to_documents_batch(pages_table)
+        documents = products["documents"]
         if documents.num_rows:
-            store.write("documents", epoch, documents)
+            write_refs.append(store.write_async("documents", epoch, documents))
 
         # ---- crawl order (epoch, seq) -----------------------------------
         order_table = pa.table(
@@ -314,11 +340,11 @@ def run_crawl(config: CrawlConfig, resume: bool = False) -> CrawlResult:
                 "priority": wave.column("priority"),
             }
         )
-        store.write("order", epoch, order_table)
+        write_refs.append(store.write_async("order", epoch, order_table))
 
         # ---- candidates → dedup → next frontier -------------------------
         stats_before = seen.stats()
-        candidates = parse_candidates(pages_table)
+        candidates = products["candidates"]
         if config.max_depth is not None:
             candidates = candidates.filter(
                 pc.less_equal(candidates.column("depth"), config.max_depth)
@@ -339,7 +365,7 @@ def run_crawl(config: CrawlConfig, resume: bool = False) -> CrawlResult:
 
         # ---- lineage + checkpoint ---------------------------------------
         stats_after = seen.stats()
-        store.write(
+        write_refs.append(store.write_async(
             "lineage",
             epoch,
             _lineage_table(
@@ -351,9 +377,10 @@ def run_crawl(config: CrawlConfig, resume: bool = False) -> CrawlResult:
                 stats_after,
                 n_partitions=config.n_seen_shards,
             ),
-        )
-        store.write("frontier", epoch, frontier)
-        store.write("seen", epoch, seen.snapshot_table())
+        ))
+        write_refs.append(store.write_async("frontier", epoch, frontier))
+        write_refs.append(store.write_async("seen", epoch, seen.snapshot_table()))
+        ray.get(write_refs)  # epoch barrier: all tables durable before the mark
         store.mark_epoch_complete(epoch, config.key())
         epoch += 1
 
@@ -374,15 +401,26 @@ def parse_candidates(pages_table: pa.Table) -> pa.Table:
     return extract_candidates_batch(pages_table)
 
 
-def _fetch_wave(wave: pa.Table, config: CrawlConfig, fetch_pool: list) -> pa.Table | None:
-    """Fetch+parse one wave. Pool mode: slice the wave round-robin over the
-    persistent actors (deterministic: results concatenated in slice order).
-    Dataset mode: ``map_batches(FetchStage)`` with streaming execution."""
+def _collect_tables(ds) -> pa.Table | None:
+    import ray as _ray
+
+    refs = ds.to_arrow_refs()
+    tables = [t for t in _ray.get(refs) if t.num_rows]
+    return pa.concat_tables(tables) if tables else None
+
+
+def _fetch_wave(wave: pa.Table, config: CrawlConfig, fetch_pool: list) -> dict | None:
+    """Fetch+parse+extract one wave → {pages (slim), candidates, images,
+    documents}. Pool mode: slice the wave round-robin over the persistent
+    actors (deterministic: results concatenated in slice order). Dataset
+    mode: ``map_batches(FetchStage)`` with streaming execution, then one
+    distributed derivation pass per product over the materialized blocks."""
     use_dataset = config.fetch_mode == "dataset" or (
         config.fetch_mode == "auto" and wave.num_rows > config.dataset_wave_threshold
     )
+    keep = config.keep_page_content
     if use_dataset:
-        pages = (
+        pages_full = (
             ray.data.from_arrow(wave)
             .map_batches(
                 FetchStage,
@@ -397,16 +435,50 @@ def _fetch_wave(wave: pa.Table, config: CrawlConfig, fetch_pool: list) -> pa.Tab
             .map_batches(parse_links_batch, batch_format="pyarrow")
             .materialize()
         )
-        batches = list(pages.iter_batches(batch_size=8192, batch_format="pyarrow"))
-        return pa.concat_tables(batches) if batches else None
-    bs = config.fetch_batch_size
-    slices = [wave.slice(o, bs) for o in range(0, wave.num_rows, bs)]
-    refs = [
-        fetch_pool[i % len(fetch_pool)].fetch_and_parse.remote(s)
-        for i, s in enumerate(slices)
-    ]
-    parts = ray.get(refs)
-    return pa.concat_tables(parts) if parts else None
+        slim_cols = list(_PAGE_SLIM_COLS) + (["content", "body_bytes"] if keep else [])
+        products = {
+            "pages": _collect_tables(
+                pages_full.map_batches(
+                    lambda t: t.select(slim_cols), batch_format="pyarrow"
+                )
+            ),
+            "candidates": _collect_tables(
+                pages_full.map_batches(extract_candidates_batch, batch_format="pyarrow")
+            ),
+            "images": _collect_tables(
+                pages_full.map_batches(images_from_pages_batch, batch_format="pyarrow")
+            ),
+            "documents": _collect_tables(
+                pages_full.map_batches(to_documents_batch, batch_format="pyarrow")
+            ),
+        }
+    else:
+        bs = config.fetch_batch_size
+        slices = [wave.slice(o, bs) for o in range(0, wave.num_rows, bs)]
+        refs = [
+            fetch_pool[i % len(fetch_pool)].process.remote(s, keep)
+            for i, s in enumerate(slices)
+        ]
+        parts = ray.get(refs)
+        if not parts:
+            return None
+        products = {
+            key: pa.concat_tables([p[key] for p in parts])
+            for key in ("pages", "candidates", "images", "documents")
+        }
+    if products["pages"] is None:
+        return None
+    from ..schemas import DOCUMENTS_SCHEMA, IMAGES_SCHEMA
+
+    empties = {
+        "candidates": FRONTIER_SCHEMA,
+        "images": IMAGES_SCHEMA,
+        "documents": DOCUMENTS_SCHEMA,
+    }
+    for key, schema in empties.items():
+        if products[key] is None:
+            products[key] = schema.empty_table()
+    return products
 
 
 def _dedup_candidates(

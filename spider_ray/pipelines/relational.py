@@ -1,0 +1,93 @@
+"""Relational patterns used by the engine's table pipelines.
+
+Three scale-conscious building blocks (ray_guide / SURVEY.md §4):
+
+- **broadcast_join** — small dimension side shipped once via ``ray.put``;
+  each batch merges against the broadcast pandas frame. No shuffle.
+- **bucketed_hash_join** — both sides large: add ``bucket = hash(key) % B``
+  to each side, tag the side, union, ``groupby(bucket)`` (ONE hash
+  exchange), then an in-bucket pandas merge per group. B and skew handling
+  are explicit; salt hot keys by raising B.
+- **preagg_sum** — partial per-batch sums (one row per key per batch)
+  before the small ``groupby().aggregate`` — the combiner pattern that
+  keeps the wide shuffle tiny.
+
+Monetary/float sums use integer cents where exactness matters (callers
+pass already-integer columns).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def broadcast_join(ds, small_df: pd.DataFrame, on: str, take_cols: list[str]):
+    """Left join ``ds`` against a broadcast small side, keeping take_cols."""
+    ref = ray.put(small_df[[on, *take_cols]])
+
+    def join_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        dim = ray.get(ref)
+        return batch.merge(dim, on=on, how="left")
+
+    return ds.map_batches(join_batch, batch_format="pandas")
+
+
+def bucketed_hash_join(
+    left_ds,
+    right_ds,
+    on: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    n_buckets: int = 32,
+):
+    """Partitioned hash join of two large Datasets on an int key.
+
+    ``left_cols``/``right_cols`` are the non-key payload columns of each
+    side (explicit — the tagged union null-fills the other side's columns,
+    so the in-bucket merge must select per side)."""
+
+    def tag(side: str, cols: list[str]):
+        def add(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[[on, *cols]].copy()
+            out["__bucket"] = (
+                batch[on].to_numpy().astype(np.int64) % n_buckets
+            ).astype(np.int32)
+            out["__side"] = side
+            return out
+
+        return add
+
+    left = left_ds.map_batches(tag("L", left_cols), batch_format="pandas")
+    right = right_ds.map_batches(tag("R", right_cols), batch_format="pandas")
+    both = left.union(right)
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["__side"] == "L"][[on, *left_cols]]
+        r = group[group["__side"] == "R"][[on, *right_cols]]
+        # merge even when one side is empty — stable schema for every bucket
+        return l.merge(r, on=on, how="inner")
+
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def preagg_sum(ds, keys: list[str], sum_cols: list[str], count_alias: str | None = None):
+    """sum/count per key with per-batch partial aggregation first."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        agg = {c: "sum" for c in sum_cols}
+        out = batch.groupby(keys, as_index=False).agg(agg)
+        if count_alias:
+            counts = batch.groupby(keys, as_index=False).size()
+            out = out.merge(counts.rename(columns={"size": count_alias}), on=keys)
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    from ray.data.aggregate import Sum
+
+    aggs = [Sum(c, alias_name=c) for c in sum_cols]
+    if count_alias:
+        aggs.append(Sum(count_alias, alias_name=count_alias))
+    return partials.groupby(keys).aggregate(*aggs)

@@ -58,6 +58,19 @@ def read_table(path_or_dir: str) -> pa.Table:
     return pq.read_table(path_or_dir)
 
 
+try:
+    import ray as _ray
+
+    @_ray.remote(num_cpus=0.5)
+    def _write_task(data: pa.Table, directory: str) -> str:
+        if os.path.exists(directory):
+            shutil.rmtree(directory)
+        return write_table(data, directory)
+
+except ImportError:  # pragma: no cover
+    _write_task = None
+
+
 class EpochStore:
     """Checkpoint layout for a crawl run.
 
@@ -113,6 +126,13 @@ class EpochStore:
         if os.path.exists(directory):  # idempotent re-run of a failed epoch
             shutil.rmtree(directory)
         write_table(data, directory)
+
+    def write_async(self, table: str, epoch: int, data: pa.Table):
+        """Checkpoint write as a Ray task (parallel across tables within an
+        epoch; caller ray.get()s the refs before marking the epoch done)."""
+        import ray
+
+        return _write_task.remote(data, self.epoch_dir(table, epoch))
 
     def read(self, table: str, epoch: int) -> pa.Table:
         return read_table(self.epoch_dir(table, epoch))
