@@ -754,6 +754,98 @@ GROUP BY host
 """
 
 
+def _q_tree_expansion(sf_dir: str) -> pa.Table:
+    """Browser-only expandable content: the tree scraper's expansion loop
+    reveals links absent from the served HTML (tree.ts:141-267 semantics
+    over the accordion fixture)."""
+    _ctx()
+    from spider_ray.sources.fixtures import MockWebConfig, page_url
+    from spider_ray.stages.fetch import FetchStage
+    from spider_ray.stages.parse import parse_links_batch
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    web = MockWebConfig(n_pages=n, n_hosts=CRAWL_HOSTS, with_expandables=True)
+
+    def run(batch: pa.Table) -> pa.Table:
+        stage = FetchStage(web_config=web, adapter="tree")
+        ids = [d for d in batch.column("doc_id").to_pylist() if d % 11 == 5]
+        if not ids:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "hidden_href": pa.array([], pa.string())}
+            )
+        wave = pa.table(
+            {
+                "url": pa.array([page_url(d, web) for d in ids], pa.string()),
+                "depth": pa.array([0] * len(ids), pa.int32()),
+                "attempts": pa.array([0] * len(ids), pa.int32()),
+            }
+        )
+        pages = parse_links_batch(stage(wave))
+        out_id, out_href = [], []
+        for d, links in zip(ids, pages.column("links").to_pylist()):
+            for link in links or []:
+                if link.get("classes") and "hidden-doc" in link["classes"]:
+                    out_id.append(d)
+                    out_href.append(link["href"])
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "hidden_href": pa.array(out_href, pa.string()),
+            }
+        )
+
+    return _collect(_doc_ids_ds(sf_dir).map_batches(run, batch_format="pyarrow"))
+
+
+_SQL_TREE_EXPANSION = f"""
+WITH params AS (SELECT count(*)::BIGINT AS n FROM documents)
+SELECT doc_id,
+       'http://h' || (((7*doc_id+11) % p.n) % {CRAWL_HOSTS}) || '.test/p/' ||
+       ((7*doc_id+11) % p.n) AS hidden_href
+FROM documents, params p
+WHERE doc_id % 11 = 5
+"""
+
+
+def _q_crawl4ai_markdown(sf_dir: str) -> pa.Table:
+    """crawl4ai adapter parity: markdown extraction from the rendering
+    service (crawl4ai.ts:114-125)."""
+    _ctx()
+    from spider_ray.sources.fixtures import MockWebConfig, page_url
+    from spider_ray.stages.fetch import FetchStage
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    web = MockWebConfig(n_pages=n, n_hosts=CRAWL_HOSTS)
+
+    def run(batch: pa.Table) -> pa.Table:
+        stage = FetchStage(web_config=web, adapter="crawl4ai")
+        ids = batch.column("doc_id").to_pylist()
+        wave = pa.table(
+            {
+                "url": pa.array([page_url(d, web) for d in ids], pa.string()),
+                "depth": pa.array([0] * len(ids), pa.int32()),
+                "attempts": pa.array([0] * len(ids), pa.int32()),
+            }
+        )
+        pages = stage(wave)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "markdown": pa.array(pages.column("markdown").to_pylist(), pa.string()),
+            }
+        )
+
+    return _collect(_doc_ids_ds(sf_dir).map_batches(run, batch_format="pyarrow"))
+
+
+_SQL_CRAWL4AI_MARKDOWN = """
+SELECT doc_id,
+       '# Page ' || doc_id || chr(10) || chr(10) ||
+       'fixture body text for page ' || doc_id || ' the quick brown fox' AS markdown
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data text ops
 # ---------------------------------------------------------------------------
@@ -1164,6 +1256,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wave_cut_topk": _q_wave_cut,
         "seen_dedup_exact": _q_seen_dedup,
         "status_gate": _q_status_gate,
+        "tree_expansion": _q_tree_expansion,
+        "crawl4ai_markdown": _q_crawl4ai_markdown,
         # training-data text ops
         "token_counts": _q_token_counts,
         "text_stats": _q_text_stats,
@@ -1204,6 +1298,8 @@ def oracle_sql() -> dict[str, str]:
         "wave_cut_topk": _SQL_WAVE_CUT,
         "seen_dedup_exact": _SQL_SEEN_DEDUP,
         "status_gate": _SQL_STATUS_GATE,
+        "tree_expansion": _SQL_TREE_EXPANSION,
+        "crawl4ai_markdown": _SQL_CRAWL4AI_MARKDOWN,
         "token_counts": _SQL_TOKEN_COUNTS,
         "text_stats": _SQL_TEXT_STATS,
         "dedup_exact_docs": _SQL_DEDUP_EXACT_DOCS,

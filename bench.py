@@ -65,8 +65,10 @@ def run_bench() -> dict:
     from spider_ray.pipelines.crawl import CrawlConfig, run_crawl
     from spider_ray.sources.fixtures import MockWebConfig, seed_urls
 
-    n_pages = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    web = MockWebConfig(n_pages=n_pages, n_hosts=7, img_every=5)
+    # universe sized from the sf tier's largest table so the workload scales
+    # with sf (documents is ~constant across tiers)
+    n_pages = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    web = MockWebConfig(n_pages=n_pages, n_hosts=7, img_every=5, img_size=16)
     out_dir = f"/tmp/spider_ray_bench/cpu{ncpu}"
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
@@ -74,13 +76,20 @@ def run_bench() -> dict:
         out_dir=out_dir,
         seeds=seed_urls(web, every=50),
         web=web,
-        wave_k=10_000_000,
+        wave_k=200_000,  # bounds per-wave memory (wave = streaming unit)
         exact_seen=False,  # scale mode: cuckoo-only authoritative filter
         use_bloom=True,
         n_seen_shards=8,
-        fetch_concurrency=max(4, ncpu - 4),
+        seen_capacity_per_shard=max(1 << 16, int(n_pages * 1.5) // 8),
+        # worker count == num_cpus (exact 4× between the 8- and 32-CPU
+        # scaling runs); fractional reservation leaves room for the seen
+        # shards / politeness / writer tasks alongside
+        fetch_concurrency=ncpu,
+        fetch_num_cpus=0.7,
         fetch_batch_size=256,
-        max_epochs=128,
+        fetch_mode="pool",  # persistent actors across the many waves
+        driver_wave_threshold=10_000_000,
+        max_epochs=256,
     )
     t0 = time.perf_counter()
     result = run_crawl(config)

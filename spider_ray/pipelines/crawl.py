@@ -66,6 +66,7 @@ class CrawlConfig:
     web: MockWebConfig = field(default_factory=MockWebConfig)
     adapter: str = "simple"
     n_seen_shards: int = 4
+    seen_capacity_per_shard: int = 1 << 20
     exact_seen: bool = True  # conformance default; False → cuckoo-only at scale
     use_bloom: bool = False  # conformance default; True → bloom pre-filter
     wave_k: int = 1_000_000
@@ -73,6 +74,8 @@ class CrawlConfig:
     max_epochs: int = 64
     max_depth: int | None = None
     fetch_concurrency: int = 4
+    fetch_num_cpus: float = 1.0  # per-worker CPU reservation (fractional →
+    # worker count can track num_cpus exactly while service actors co-fit)
     fetch_batch_size: int = 512
     dedup_concurrency: int = 2
     retry_max_attempts: int = 1
@@ -106,7 +109,7 @@ def _process_pages(pages: pa.Table, keep_content: bool) -> dict:
     here, INSIDE the worker — the driver only concatenates)."""
     candidates = extract_candidates_batch(pages)
     images = images_from_pages_batch(pages)
-    documents = to_documents_batch(pages)
+    documents = to_documents_batch(pages, include_html=keep_content)
     slim_cols = list(_PAGE_SLIM_COLS)
     if keep_content:
         slim_cols += ["content", "body_bytes"]
@@ -263,17 +266,37 @@ def run_crawl(config: CrawlConfig, resume: bool = False) -> CrawlResult:
     store = EpochStore(config.out_dir)
     seen = ShardedSeen.create(
         n_shards=config.n_seen_shards,
-        capacity_per_shard=1 << 20,
+        capacity_per_shard=config.seen_capacity_per_shard,
         exact=config.exact_seen,
+    )
+    from ..state.bloom import BloomFilter
+
+    # driver-side bloom pre-filter over *confirmed-seen* keys: repeat
+    # duplicates skip the shard RPC entirely (lossy-in-the-safe-direction:
+    # an FP can only suppress a duplicate probe after the key was confirmed
+    # seen... except hash collisions at the configured 1e-3 rate — bit-exact
+    # conformance runs therefore set use_bloom=False)
+    bloom = (
+        BloomFilter(config.seen_capacity_per_shard * config.n_seen_shards, 0.001)
+        if config.use_bloom
+        else None
     )
     politeness = PolitenessPool.create(
         n_actors=max(1, config.n_seen_shards // 2),
         budget_per_wave=config.max_per_host_per_wave,
     )
     web = MockWeb(config.web)
+    # cap the pool to schedulable CPUs — an over-requested actor never
+    # schedules and its round-robin slices would hang the wave forever
+    avail_cpus = float(ray.cluster_resources().get("CPU", config.fetch_concurrency))
+    reserved = 0.1 * config.n_seen_shards + 0.5  # shards + politeness + slack
+    max_workers = max(1, int((avail_cpus - reserved) / max(0.1, config.fetch_num_cpus)))
+    pool_n = max(1, min(config.fetch_concurrency, max_workers))
     fetch_pool = [
-        FetchWorker.remote(config.web, config.adapter)
-        for _ in range(config.fetch_concurrency)
+        FetchWorker.options(num_cpus=config.fetch_num_cpus).remote(
+            config.web, config.adapter
+        )
+        for _ in range(pool_n)
     ]
 
     start_epoch = 0
@@ -349,7 +372,7 @@ def run_crawl(config: CrawlConfig, resume: bool = False) -> CrawlResult:
             candidates = candidates.filter(
                 pc.less_equal(candidates.column("depth"), config.max_depth)
             )
-        fresh_table = _dedup_candidates(candidates, seen, config)
+        fresh_table = _dedup_candidates(candidates, seen, config, bloom)
 
         # ---- retries: 5xx rows re-enqueue with attempts+1 ----------------
         retry_rows = _retry_rows(pages_table, wave, config.retry_max_attempts)
@@ -449,11 +472,22 @@ def _fetch_wave(wave: pa.Table, config: CrawlConfig, fetch_pool: list) -> dict |
                 pages_full.map_batches(images_from_pages_batch, batch_format="pyarrow")
             ),
             "documents": _collect_tables(
-                pages_full.map_batches(to_documents_batch, batch_format="pyarrow")
+                pages_full.map_batches(
+                    lambda t: to_documents_batch(t, include_html=keep),
+                    batch_format="pyarrow",
+                )
             ),
         }
     else:
-        bs = config.fetch_batch_size
+        # adaptive slice size: at least ~4 slices per worker so small waves
+        # still saturate the pool, capped at fetch_batch_size
+        bs = max(
+            32,
+            min(
+                config.fetch_batch_size,
+                -(-wave.num_rows // (len(fetch_pool) * 4)),
+            ),
+        )
         slices = [wave.slice(o, bs) for o in range(0, wave.num_rows, bs)]
         refs = [
             fetch_pool[i % len(fetch_pool)].process.remote(s, keep)
@@ -482,17 +516,24 @@ def _fetch_wave(wave: pa.Table, config: CrawlConfig, fetch_pool: list) -> dict |
 
 
 def _dedup_candidates(
-    candidates: pa.Table, seen: ShardedSeen, config: CrawlConfig
+    candidates: pa.Table, seen: ShardedSeen, config: CrawlConfig, bloom=None
 ) -> pa.Table:
     """Admit unseen candidates. Small sets: direct sharded RPC fan-out from
-    the driver (already parallel across shard actors). Large sets: a
+    the driver (already parallel across shard actors), with an optional
+    driver-held bloom short-circuiting repeat duplicates. Large sets: a
     ``map_batches(DedupStage)`` task pool so probing itself distributes."""
     if candidates.num_rows == 0:
         return _empty_frontier()
     if candidates.num_rows <= config.driver_wave_threshold:
-        unseen = seen.check_and_add(
-            candidates.column("url_hash").to_numpy().astype(np.uint64)
-        )
+        keys = candidates.column("url_hash").to_numpy().astype(np.uint64)
+        if bloom is not None:
+            need = ~bloom.contains_many(keys)
+            unseen = np.zeros(len(keys), dtype=bool)
+            if need.any():
+                unseen[need] = seen.check_and_add(keys[need])
+                bloom.add_many(keys[need])
+        else:
+            unseen = seen.check_and_add(keys)
         return candidates.filter(pa.array(unseen))
     dedup = DedupStage(seen, use_bloom=config.use_bloom)
     fresh = (

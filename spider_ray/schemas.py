@@ -70,6 +70,8 @@ PAGES_SCHEMA = pa.schema(
         pa.field("body_bytes", pa.large_binary()),
         pa.field("filename", pa.string()),
         pa.field("links", pa.list_(LINK_TYPE)),
+        # crawl4ai-only markdown rendering (types.ts:86-90)
+        pa.field("markdown", pa.large_string()),
         pa.field("fetched_at", pa.timestamp("ms")),
         pa.field("cache_hit", pa.bool_()),
         # ScrapeResult provenance columns (types.ts:344-373)

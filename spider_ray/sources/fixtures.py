@@ -49,6 +49,11 @@ class MockWebConfig:
     with_detector_pages: bool = False
     with_external_links: bool = False
     with_private: bool = False
+    # browser-only content: pages with i % 11 == 5 hide an extra link behind
+    # an expandable element — NOT present in the served HTML; only revealed
+    # via the expansion interaction (MockWeb.expand), mirroring the
+    # reference's accordion fixtures (local-server.ts:129-155)
+    with_expandables: bool = False
 
 
 @dataclass
@@ -120,6 +125,10 @@ def page_html(i: int, cfg: MockWebConfig) -> str:
         links.append(f'<a href="http://h{i % cfg.n_hosts}.test/private/{i}">private</a>')
     if cfg.with_detector_pages and i % 17 == 3:
         links.append(f'<a href="/download/minutes/?wpdmdl={i}" class="wpdm-download-link">minutes</a>')
+    if cfg.with_expandables and i % 11 == 5:
+        # the clickable affordance is in the HTML; the revealed content is not
+        links.append('<button aria-expanded="false" class="accordion-header">more…</button>')
+        links.append('<a href="#">menu</a>')  # anchor-skip heuristic target
     body = "\n".join(links)
     return (
         f"<html><head><title>Page {i}</title>"
@@ -205,6 +214,55 @@ class MockWeb:
             return MockResponse(url, url, 200, "text/html", content="<html>private</html>")
 
         return MockResponse(url, url, 404, "text/plain", content="")
+
+    def expand(self, url: str, round_: int) -> str:
+        """Simulated in-page expansion: HTML fragment revealed by click
+        round ``round_`` (1-based), '' when nothing more opens. Models the
+        browser-only accordion content of the reference's /tree fixture
+        (local-server.ts:129-141); only browser-class adapters call this."""
+        cfg = self.cfg
+        if not cfg.with_expandables:
+            return ""
+        try:
+            rest = url.split("://", 1)[1]
+            _host, _, path = rest.partition("/")
+            i = _int_tail(("/" + path)[3:])
+        except (IndexError, ValueError):
+            return ""
+        if i is None or i >= cfg.n_pages or i % 11 != 5:
+            return ""
+        if round_ == 1:
+            hidden = (7 * i + 11) % cfg.n_pages
+            return f'<a href="{page_url(hidden, cfg)}" class="hidden-doc">hidden {hidden}</a>'
+        return ""
+
+    def crawl4ai(self, url: str) -> dict | None:
+        """Mock of the remote crawl4ai rendering service (adapter S4):
+        POST /crawl → {cleaned_html, markdown, links{internal,external}}.
+        Pages with i % 13 == 4 return empty service links to exercise the
+        parser fallback branch (crawl4ai.ts:66-109)."""
+        resp = self.resolve(url)
+        if resp.status >= 400 or resp.content is None:
+            return None
+        try:
+            i = _int_tail(url.rsplit("/", 1)[1])
+        except (IndexError, ValueError):
+            i = None
+        from ..functions.links import extract_html_links
+
+        links = extract_html_links(resp.content, url)
+        internal = [l.href for l in links]
+        service_links = {"internal": [], "external": []} if (
+            i is not None and i % 13 == 4
+        ) else {"internal": internal, "external": []}
+        markdown = None
+        if i is not None:
+            markdown = f"# Page {i}\n\nfixture body text for page {i} the quick brown fox"
+        return {
+            "cleaned_html": resp.content,
+            "markdown": markdown,
+            "links": service_links,
+        }
 
     # convenience for building the expected images table in tests
     def expected_image_row(self, i: int) -> dict:

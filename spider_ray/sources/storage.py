@@ -61,7 +61,7 @@ def read_table(path_or_dir: str) -> pa.Table:
 try:
     import ray as _ray
 
-    @_ray.remote(num_cpus=0.5)
+    @_ray.remote(num_cpus=0.25)
     def _write_task(data: pa.Table, directory: str) -> str:
         if os.path.exists(directory):
             shutil.rmtree(directory)

@@ -76,6 +76,8 @@ def process_html(html: str) -> str:
 class FetchStage:
     """Actor-pool fetch: one batch of frontier rows in, pages rows out."""
 
+    ADAPTERS = ("simple", "dom", "crawlee", "crawl4ai", "tree")
+
     def __init__(
         self,
         web_config: MockWebConfig | None = None,
@@ -84,7 +86,12 @@ class FetchStage:
         cache_enabled: bool = True,
         max_redirects: int = 5,
         simulated_latency_us: int = 0,
+        custom_selectors: list[str] | None = None,
     ):
+        if adapter not in self.ADAPTERS:
+            # mirror scraper-factory.ts:52-59: reserved names typed but
+            # rejected at runtime
+            raise ValueError(f"ValidationError: unsupported adapter {adapter!r}")
         self.web = MockWeb(web_config or MockWebConfig())
         self.adapter = adapter
         self.cache: OrderedDict[str, dict] = OrderedDict()
@@ -92,8 +99,37 @@ class FetchStage:
         self.cache_enabled = cache_enabled
         self.max_redirects = max_redirects
         self.simulated_latency_us = simulated_latency_us
+        # tree-scraper extension point; varies the cache key (tree.ts:110)
+        self.custom_selectors = custom_selectors or []
         self.fetches = 0
         self.cache_hits = 0
+
+    # -- browser-class expansion fixpoint ---------------------------------
+    def _expand(self, url: str, content: str) -> tuple[str, int]:
+        """Bounded expansion loop (crawlee: ≤3 rounds, crawlee.ts:120-149;
+        tree: ≤10 rounds with 2-consecutive-empty stop, tree.ts:18,162-163).
+        Revealed fragments are appended to the content so the ordinary link
+        parse sees them; first-wins dedup keeps visible links ahead of
+        revealed duplicates (crawlee.ts:154-163 merge semantics)."""
+        max_rounds = 3 if self.adapter == "crawlee" else 10
+        empty_stop = 1 if self.adapter == "crawlee" else 2
+        clicked: set[int] = set()  # ST4 clicked-set analogue
+        interactions = 0
+        empty_streak = 0
+        for round_ in range(1, max_rounds + 1):
+            if round_ in clicked:
+                continue
+            fragment = self.web.expand(url, round_)
+            clicked.add(round_)
+            if fragment:
+                content += "\n" + fragment
+                interactions += 1
+                empty_streak = 0
+            else:
+                empty_streak += 1
+                if empty_streak >= empty_stop:
+                    break
+        return content, interactions
 
     # -- single fetch (the adapter seam) ----------------------------------
     def _fetch_one(self, url: str, attempts: int) -> dict:
@@ -102,7 +138,11 @@ class FetchStage:
             return self._row(
                 url, url, 0, None, None, None, None, 0.0, False, "ValidationError"
             )
-        key = create_cache_key(self.adapter, url, [{"adapter": self.adapter}])
+        key = create_cache_key(
+            self.adapter,
+            url,
+            [{"adapter": self.adapter, "customSelectors": self.custom_selectors or None}],
+        )
         if self.cache_enabled and key in self.cache:
             self.cache.move_to_end(key)
             self.cache_hits += 1
@@ -113,10 +153,47 @@ class FetchStage:
             time.sleep(self.simulated_latency_us / 1e6)
         resp = self.web.resolve(url, attempts=attempts)
         self.fetches += 1
-        final_url = resp.final_url if self.adapter == "simple" else url
+        # adapter-parity quirk: simple follows redirects and REWRITES the
+        # final url (simple.ts:115-120); dom/browser adapters report the
+        # request URL (dom.ts:129-132)
+        final_url = resp.final_url if self.adapter in ("simple", "crawl4ai") else url
         content = resp.content
-        if self.adapter == "dom" and content is not None and resp.status < 400:
-            content = process_html(content)
+        markdown = None
+        links = None
+        interactions = 0
+        if resp.status < 400 and content is not None:
+            if self.adapter == "dom":
+                content = process_html(content)
+            elif self.adapter in ("crawlee", "tree"):
+                content, interactions = self._expand(url, content)
+            elif self.adapter == "crawl4ai":
+                svc = self.web.crawl4ai(url)
+                if svc is not None:
+                    content = svc["cleaned_html"] or content
+                    markdown = svc["markdown"]
+                    internal = svc["links"]["internal"]
+                    external = svc["links"]["external"]
+                    if internal or external:
+                        # service links win, internal before external,
+                        # absolutized + first-wins dedup (crawl4ai.ts:66-105);
+                        # quirk: no rel/target/classes metadata
+                        seen: set[str] = set()
+                        links = []
+                        from ..functions.urls import resolve_href
+
+                        for href in [*internal, *external]:
+                            absolute = resolve_href(href, url)
+                            if absolute in seen:
+                                continue
+                            seen.add(absolute)
+                            links.append(
+                                {
+                                    "href": absolute, "text": "", "title": None,
+                                    "aria_label": None, "rel": None,
+                                    "target": None, "classes": None,
+                                }
+                            )
+                    # else: fall through → parse stage extracts from HTML
         error = None
         if resp.status >= 400:
             error = f"NetworkError: HTTP {resp.status}"
@@ -132,6 +209,9 @@ class FetchStage:
             duration_ms,
             False,
             error,
+            markdown=markdown,
+            links=links,
+            interactions=interactions,
         )
         if self.cache_enabled and resp.status < 400:
             self.cache[key] = row
@@ -142,7 +222,7 @@ class FetchStage:
     @staticmethod
     def _row(
         url, final_url, status, content_type, content, body_bytes, filename,
-        duration_ms, cache_hit, error,
+        duration_ms, cache_hit, error, markdown=None, links=None, interactions=0,
     ) -> dict:
         return {
             "url": url,
@@ -155,6 +235,9 @@ class FetchStage:
             "duration_ms": duration_ms,
             "cache_hit": cache_hit,
             "error": error,
+            "markdown": markdown,
+            "links": links,
+            "interactions": interactions,
         }
 
     # -- batch entry ------------------------------------------------------
@@ -189,17 +272,26 @@ class FetchStage:
             "content": pa.array([r["content"] for r in rows], pa.large_string()),
             "body_bytes": pa.array([r["body_bytes"] for r in rows], pa.large_binary()),
             "filename": pa.array([r["filename"] for r in rows], pa.string()),
-            "links": pa.nulls(n, PAGES_SCHEMA.field("links").type),
+            "links": pa.array(
+                [r["links"] for r in rows], PAGES_SCHEMA.field("links").type
+            ),
+            "markdown": pa.array([r["markdown"] for r in rows], pa.large_string()),
             "fetched_at": pa.array([_FIXED_EPOCH_MS] * n, pa.timestamp("ms")),
             "cache_hit": pa.array([r["cache_hit"] for r in rows], pa.bool_()),
-            "strategy_type": pa.array(["basic"] * n, pa.string()),
+            "strategy_type": pa.array(
+                ["tree" if self.adapter == "tree" else "basic"] * n, pa.string()
+            ),
             "strategy_spider": pa.array([self.adapter] * n, pa.string()),
-            "confidence": pa.array([1.0] * n, pa.float64()),
+            "confidence": pa.array(
+                [self._confidence(r) for r in rows], pa.float64()
+            ),
             "duration_ms": pa.array(
                 [int(r["duration_ms"]) for r in rows], pa.int64()
             ),
             "link_count": pa.nulls(n, pa.int32()),
-            "interaction_count": pa.array([0] * n, pa.int32()),
+            "interaction_count": pa.array(
+                [r["interactions"] for r in rows], pa.int32()
+            ),
             "complete": pa.array([r["status"] < 400 for r in rows], pa.bool_()),
             "error": pa.array([r["error"] for r in rows], pa.string()),
         }
@@ -209,6 +301,16 @@ class FetchStage:
                 "anchor_text", batch.column("anchor_text").combine_chunks()
             )
         return out
+
+    def _confidence(self, row: dict) -> float:
+        """A5 confidence scoring: basic constant 1.0 (basic.ts:113); tree
+        0.9 with interactions else 0.5 (tree.ts:340), download path 0.8
+        (tree.ts:376)."""
+        if self.adapter != "tree":
+            return 1.0
+        if row["body_bytes"] is not None:
+            return 0.8
+        return 0.9 if row["interactions"] else 0.5
 
     def stats(self) -> dict:
         return {"fetches": self.fetches, "cache_hits": self.cache_hits}

@@ -45,10 +45,20 @@ def parse_links_batch(batch: pa.Table) -> pa.Table:
     ctypes = batch.column("content_type").to_pylist()
     contents = batch.column("content").to_pylist()
     finals = batch.column("final_url").to_pylist()
+    pre = (
+        batch.column("links").to_pylist()
+        if "links" in batch.column_names
+        else [None] * batch.num_rows
+    )
     links_col: list[list[dict] | None] = []
     counts: list[int | None] = []
-    for status, ctype, content, final in zip(statuses, ctypes, contents, finals):
-        if status < 400 and ctype and "html" in ctype and content:
+    for status, ctype, content, final, existing in zip(
+        statuses, ctypes, contents, finals, pre
+    ):
+        if existing is not None:  # adapter pre-extracted (crawl4ai service)
+            links_col.append(existing)
+            counts.append(len(existing))
+        elif status < 400 and ctype and "html" in ctype and content:
             links = [l.as_dict() for l in extract_html_links(content, final)]
             links_col.append(links)
             counts.append(len(links))
@@ -110,8 +120,12 @@ def extract_candidates_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def to_documents_batch(batch: pa.Table) -> pa.Table:
-    """ScrapeResult → DocumentResult rows (scrapeDocument.ts:249-320)."""
+def to_documents_batch(batch: pa.Table, include_html: bool = True) -> pa.Table:
+    """ScrapeResult → DocumentResult rows (scrapeDocument.ts:249-320).
+
+    ``include_html=False`` drops the raw-HTML column from the sink (the
+    extracted text/metadata stay) — at crawl scale the full markup is
+    redundant with the pages store and dominates the row size."""
     n = batch.num_rows
     cols = {name: batch.column(name).to_pylist() for name in (
         "url", "final_url", "status", "content_type", "content",
@@ -166,7 +180,7 @@ def to_documents_batch(batch: pa.Table) -> pa.Table:
         out["url"].append(url)
         out["mime_type"].append("application/pdf" if is_pdf else "text/html")
         out["text"].append("" if is_pdf else strip_html_to_text(content))
-        out["html"].append(content)
+        out["html"].append(content if include_html else None)
         out["is_download"].append(False)
         out["file_content"].append(None)
         out["filename"].append(None)

@@ -74,7 +74,7 @@ class HostBudgetState:
         )
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0.1)
 class HostBudgetActor:
     def __init__(self, budget_per_wave: int):
         self.state = HostBudgetState(budget_per_wave)

@@ -108,10 +108,10 @@ class SeenShardState:
         }
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0.1)
 class SeenShardActor:
-    """One shard of the URL-seen set. num_cpus=0.25: probe work is light and
-    bursty; four shards co-schedule per core without starving fetch actors."""
+    """One shard of the URL-seen set. num_cpus=0.1: probe work is light and
+    bursty; many shards co-schedule per core without starving fetch actors."""
 
     def __init__(self, capacity: int, exact: bool):
         self.state = SeenShardState(capacity, exact)
