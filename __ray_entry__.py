@@ -1098,6 +1098,85 @@ ORDER BY cents DESC, user_id ASC LIMIT 10
 """
 
 
+def _q_events_sessionize(sf_dir: str) -> pa.Table:
+    """Session windows (30-min inactivity gap) per user — the
+    streaming-shaped workload pattern: partition by key, sort by time
+    within the group, windowing inside ``map_groups`` (ray_guide)."""
+    _ctx()
+
+    GAP_US = 30 * 60 * 1_000_000
+
+    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = group["ts"].astype("int64").to_numpy()
+        brk = np.zeros(len(ts), dtype=np.int64)
+        if len(ts) > 1:
+            brk[1:] = (np.diff(ts) > GAP_US).astype(np.int64)
+        session = np.cumsum(brk)
+        out = pd.DataFrame(
+            {
+                "user_id": group["user_id"].to_numpy(),
+                "session_id": session,
+            }
+        )
+        return (
+            out.groupby(["user_id", "session_id"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_events"})
+        )
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas").to_pandas()
+    return pa.table(
+        {
+            "user_id": pa.array(out["user_id"].astype("int64")),
+            "session_id": pa.array(out["session_id"].astype("int64")),
+            "n_events": pa.array(out["n_events"].astype("int64")),
+        }
+    )
+
+
+_SQL_EVENTS_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id::BIGINT AS session_id, count(*)::BIGINT AS n_events
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+def _q_hash_sample(sf_dir: str) -> pa.Table:
+    """Deterministic hash-based sampling (reproducible across engines,
+    unlike RNG sampling): keep rows where md5(doc_id) lands in 1/16 of the
+    key space."""
+    _ctx()
+
+    def run(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        keep = [
+            d for d in ids
+            if int(hashlib.md5(str(d).encode()).hexdigest()[:2], 16) % 16 == 0
+        ]
+        return pa.table({"doc_id": pa.array(keep, pa.int64())})
+
+    return _collect(_doc_ids_ds(sf_dir).map_batches(run, batch_format="pyarrow"))
+
+
+_SQL_HASH_SAMPLE = """
+SELECT doc_id FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INT % 16 = 0
+"""
+
+
 def _q_broadcast_revenue(sf_dir: str) -> pa.Table:
     _ctx()
     from spider_ray.pipelines.relational import broadcast_join, preagg_sum
@@ -1145,12 +1224,17 @@ def _q_partitioned_join(sf_dir: str) -> pa.Table:
     from spider_ray.pipelines.relational import bucketed_hash_join, preagg_sum
 
     def prep_li(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+        # per-BATCH combiner (plain pandas, no Ray shuffle): lineitem is
+        # clustered by orderkey, so partial sums shrink the join input a lot
+        out = pd.DataFrame(
             {
                 "o_orderkey": batch["l_orderkey"],
                 "qty": batch["l_quantity"].astype("int64"),
             }
         )
+        agg = out.groupby("o_orderkey", as_index=False)["qty"].sum()
+        agg["n"] = out.groupby("o_orderkey", as_index=False).size()["size"]
+        return agg
 
     lineitem = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]).map_batches(
         prep_li, batch_format="pandas"
@@ -1158,9 +1242,9 @@ def _q_partitioned_join(sf_dir: str) -> pa.Table:
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
     joined = bucketed_hash_join(
         lineitem, orders, on="o_orderkey",
-        left_cols=["qty"], right_cols=["o_orderpriority"], n_buckets=16,
+        left_cols=["qty", "n"], right_cols=["o_orderpriority"], n_buckets=16,
     )
-    out = preagg_sum(joined, ["o_orderpriority"], ["qty"], count_alias="n").to_pandas()
+    out = preagg_sum(joined, ["o_orderpriority"], ["qty", "n"]).to_pandas()
     return pa.table(
         {
             "o_orderpriority": pa.array(out["o_orderpriority"], pa.string()),
@@ -1272,6 +1356,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_decode_stats": _q_image_decode_stats,
         # events / relational
         "events_hour_agg": _q_events_hour_agg,
+        "events_sessionize": _q_events_sessionize,
+        "hash_sample": _q_hash_sample,
         "events_topk_users": _q_events_topk_users,
         "broadcast_revenue": _q_broadcast_revenue,
         "partitioned_join": _q_partitioned_join,
@@ -1305,6 +1391,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": _SQL_DEDUP_EXACT_DOCS,
         "ann_topk": _SQL_ANN_TOPK,
         "events_hour_agg": _SQL_EVENTS_HOUR_AGG,
+        "events_sessionize": _SQL_EVENTS_SESSIONIZE,
+        "hash_sample": _SQL_HASH_SAMPLE,
         "events_topk_users": _SQL_EVENTS_TOPK_USERS,
         "broadcast_revenue": _SQL_BROADCAST_REVENUE,
         "partitioned_join": _SQL_PARTITIONED_JOIN,

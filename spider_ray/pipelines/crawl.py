@@ -58,6 +58,35 @@ from ..state.seen import ShardedSeen
 
 _FIXED_EPOCH_MS = 1_700_000_000_000
 
+_TRACE = bool(int(__import__("os").environ.get("SPIDER_RAY_TRACE", "0")))
+
+
+class _Tracer:
+    """Per-phase wall-time accumulator, printed to stderr when
+    SPIDER_RAY_TRACE=1 (perf diagnosis only — no effect on results)."""
+
+    def __init__(self):
+        import collections
+
+        self.acc = collections.defaultdict(float)
+        self._t = None
+        self._phase = None
+
+    def mark(self, phase: str | None):
+        import time as _time
+
+        now = _time.perf_counter()
+        if self._phase is not None:
+            self.acc[self._phase] += now - self._t
+        self._phase, self._t = phase, now
+
+    def dump(self):
+        import sys
+
+        total = sum(self.acc.values())
+        parts = ", ".join(f"{k}={v:.2f}s" for k, v in sorted(self.acc.items(), key=lambda kv: -kv[1]))
+        print(f"[spider-ray trace] total={total:.2f}s: {parts}", file=sys.stderr)
+
 
 @dataclass
 class CrawlConfig:
@@ -90,6 +119,10 @@ class CrawlConfig:
     # 'auto'   — dataset when the wave exceeds dataset_wave_threshold rows
     fetch_mode: str = "auto"
     dataset_wave_threshold: int = 20_000
+    # response cache inside fetch workers: off by default for the crawl —
+    # the seen-set already guarantees ≤1 fetch per URL, so per-URL cache-key
+    # hashing (sha256 + canonical JSON) is pure overhead; retries refetch
+    fetch_cache: bool = False
 
     def key(self) -> str:
         payload = asdict(self)
@@ -136,15 +169,144 @@ class FetchWorker:
     (CrawlConfig.fetch_mode).
     """
 
-    def __init__(self, web_config, adapter: str):
-        self.stage = FetchStage(web_config=web_config, adapter=adapter)
+    def __init__(
+        self,
+        web_config,
+        adapter: str,
+        seen: "ShardedSeen | None" = None,
+        use_bloom: bool = False,
+        max_depth: int | None = None,
+        cache_enabled: bool = True,
+    ):
+        self.stage = FetchStage(
+            web_config=web_config, adapter=adapter, cache_enabled=cache_enabled
+        )
+        # worker-side dedup: each worker probes the shared seen shards for
+        # its own chunk's candidates (north rule: bloom pre-filter lives in
+        # the fetch actors) — the driver never touches raw candidates
+        self.seen = seen
+        self.max_depth = max_depth
+        from ..state.bloom import BloomFilter
+
+        self.bloom = BloomFilter(1 << 21, 0.001) if use_bloom else None
+        self.busy_s = 0.0
+        self.dedup_s = 0.0
+
+    def _dedup_local(self, candidates: pa.Table) -> pa.Table:
+        if self.seen is None or candidates.num_rows == 0:
+            return candidates
+        if self.max_depth is not None:
+            candidates = candidates.filter(
+                pc.less_equal(candidates.column("depth"), self.max_depth)
+            )
+            if candidates.num_rows == 0:
+                return candidates
+        keys = candidates.column("url_hash").to_numpy().astype(np.uint64)
+        if self.bloom is not None:
+            need = ~self.bloom.contains_many(keys)
+            unseen = np.zeros(len(keys), dtype=bool)
+            if need.any():
+                unseen[need] = self.seen.check_and_add(keys[need])
+                self.bloom.add_many(keys[need])
+        else:
+            unseen = self.seen.check_and_add(keys)
+        return candidates.filter(pa.array(unseen))
 
     def process(self, batch: pa.Table, keep_content: bool) -> dict:
         pages = parse_links_batch(self.stage(batch))
-        return _process_pages(pages, keep_content)
+        out = _process_pages(pages, keep_content)
+        out["n_candidates_raw"] = out["candidates"].num_rows
+        out["candidates"] = self._dedup_local(out["candidates"])
+        return out
+
+    def process_chunk(
+        self,
+        chunk: pa.Table,
+        keep_content: bool,
+        batch_size: int,
+        sink: dict | None = None,
+        part_id: int = 0,
+        n_partitions: int = 4,
+    ) -> dict:
+        """One wave-chunk per worker: iterate micro-batches internally,
+        dedup own candidates against the seen shards, and (when ``sink``
+        maps table→directory) WRITE this chunk's pages/images/documents
+        partition directly — the resumable per-partition output layout.
+        The driver receives only fresh candidates + small metadata, so
+        per-wave driver traffic is O(new URLs), not O(fetched bytes)."""
+        import time as _time
+
+        _t0 = _time.perf_counter()
+        parts = [
+            parse_links_batch(self.stage(chunk.slice(o, batch_size)))
+            for o in range(0, chunk.num_rows, batch_size)
+        ]
+        pages = pa.concat_tables(parts).combine_chunks()
+        products = _process_pages(pages, keep_content)
+        _t1 = _time.perf_counter()
+        out = {
+            "n_candidates_raw": products["candidates"].num_rows,
+            "n_pages": products["pages"].num_rows,
+            "n_images": products["images"].num_rows,
+            "n_documents": products["documents"].num_rows,
+            "fresh": self._dedup_local(products["candidates"]),
+            "failed": _failed_rows(products["pages"]),
+            "lineage": _lineage_fetch_partial(products["pages"], n_partitions),
+        }
+        self.dedup_s += _time.perf_counter() - _t1
+        if sink is not None:
+            from ..sources.storage import write_table
+
+            name = f"part-{part_id:05d}.parquet"
+            write_table(products["pages"], sink["pages"], name)
+            if products["images"].num_rows:
+                write_table(products["images"], sink["images"], name)
+            if products["documents"].num_rows:
+                write_table(products["documents"], sink["documents"], name)
+        else:
+            out.update(
+                pages=products["pages"],
+                images=products["images"],
+                documents=products["documents"],
+            )
+        self.busy_s += _time.perf_counter() - _t0
+        return out
 
     def stats(self) -> dict:
-        return self.stage.stats()
+        out = dict(self.stage.stats())
+        out["busy_s"] = self.busy_s
+        out["dedup_s"] = self.dedup_s
+        return out
+
+
+def _failed_rows(pages_slim: pa.Table) -> pa.Table:
+    """Retryable (5xx) rows → (url_hash, status)."""
+    status = pages_slim.column("status")
+    retryable = pc.and_(pc.greater_equal(status, 500), pc.less(status, 600))
+    return pages_slim.filter(retryable).select(["url_hash", "status"])
+
+
+def _lineage_fetch_partial(pages_slim: pa.Table, n_partitions: int) -> pa.Table:
+    """Per-partition (url_hash % n) fetch counters for one chunk."""
+    part_ids = (
+        pages_slim.column("url_hash").to_numpy().astype(np.uint64)
+        % np.uint64(n_partitions)
+    ).astype(np.int64)
+    cache_hits = pages_slim.column("cache_hit").to_numpy(zero_copy_only=False)
+    statuses = pages_slim.column("status").to_numpy()
+    rows = np.bincount(part_ids, minlength=n_partitions)
+    hits = np.bincount(part_ids, weights=cache_hits.astype(np.float64), minlength=n_partitions)
+    errs = np.bincount(
+        part_ids, weights=(statuses >= 400).astype(np.float64), minlength=n_partitions
+    )
+    return pa.table(
+        {
+            "partition_id": pa.array(range(n_partitions), pa.int32()),
+            "rows": pa.array(rows.astype("int64")),
+            "cache_hits": pa.array(hits.astype("int64")),
+            "errors": pa.array(errs.astype("int64")),
+        }
+    )
 
 
 @dataclass
@@ -292,9 +454,15 @@ def run_crawl(config: CrawlConfig, resume: bool = False) -> CrawlResult:
     reserved = 0.1 * config.n_seen_shards + 0.5  # shards + politeness + slack
     max_workers = max(1, int((avail_cpus - reserved) / max(0.1, config.fetch_num_cpus)))
     pool_n = max(1, min(config.fetch_concurrency, max_workers))
+    worker_dedup = config.fetch_mode != "dataset"
     fetch_pool = [
         FetchWorker.options(num_cpus=config.fetch_num_cpus).remote(
-            config.web, config.adapter
+            config.web,
+            config.adapter,
+            seen if worker_dedup else None,
+            config.use_bloom if worker_dedup else False,
+            config.max_depth,
+            config.fetch_cache,
         )
         for _ in range(pool_n)
     ]
@@ -317,7 +485,10 @@ def run_crawl(config: CrawlConfig, resume: bool = False) -> CrawlResult:
     images_written = 0
     epoch = start_epoch
 
+    tracer = _Tracer() if _TRACE else None
+    pending_writes: tuple[int, list] | None = None
     while frontier.num_rows > 0 and epoch < config.max_epochs:
+        if tracer: tracer.mark("wave_select")
         politeness.begin_wave()
         wave, deferred = wave_select_arrow(
             frontier, config.wave_k, config.max_per_host_per_wave
@@ -336,21 +507,25 @@ def run_crawl(config: CrawlConfig, resume: bool = False) -> CrawlResult:
             epoch += 1
             continue
 
-        # ---- fetch + parse + extract (distributed, one pass) ------------
-        products = _fetch_wave(wave, config, fetch_pool)
-        if products is None or products["pages"].num_rows == 0:
+        # ---- fetch + parse + extract + dedup (distributed) ---------------
+        # dedup runs inside the workers, so snapshot shard stats first
+        stats_before = seen.stats()
+        if tracer: tracer.mark("fetch_wave")
+        meta = _fetch_wave(wave, config, fetch_pool, store, epoch)
+        if meta is None or meta["n_pages"] == 0:
             break
-        pages_table = products["pages"]
-        pages_fetched += pages_table.num_rows
+        pages_fetched += meta["n_pages"]
+        images_written += meta["n_images"]
+        write_refs = list(meta["write_refs"])
 
-        write_refs = [store.write_async("pages", epoch, pages_table)]
-        images = products["images"]
-        if images.num_rows:
-            write_refs.append(store.write_async("images", epoch, images))
-            images_written += images.num_rows
-        documents = products["documents"]
-        if documents.num_rows:
-            write_refs.append(store.write_async("documents", epoch, documents))
+        # previous epoch's checkpoint writes overlapped with this fetch;
+        # gather them now and only then mark that epoch complete
+        if pending_writes is not None:
+            if tracer: tracer.mark("checkpoint.barrier")
+            prev_epoch, prev_refs = pending_writes
+            ray.get(prev_refs)
+            store.mark_epoch_complete(prev_epoch, config.key())
+            pending_writes = None
 
         # ---- crawl order (epoch, seq) -----------------------------------
         order_table = pa.table(
@@ -366,16 +541,21 @@ def run_crawl(config: CrawlConfig, resume: bool = False) -> CrawlResult:
         write_refs.append(store.write_async("order", epoch, order_table))
 
         # ---- candidates → dedup → next frontier -------------------------
-        stats_before = seen.stats()
-        candidates = products["candidates"]
-        if config.max_depth is not None:
-            candidates = candidates.filter(
-                pc.less_equal(candidates.column("depth"), config.max_depth)
-            )
-        fresh_table = _dedup_candidates(candidates, seen, config, bloom)
+        if tracer: tracer.mark("dedup")
+        candidates_n = meta["n_candidates_raw"]
+        if meta["fresh"] is not None:
+            fresh_table = meta["fresh"]  # workers already probed the shards
+        else:
+            candidates = meta["candidates_raw"]
+            if config.max_depth is not None:
+                candidates = candidates.filter(
+                    pc.less_equal(candidates.column("depth"), config.max_depth)
+                )
+                candidates_n = candidates.num_rows
+            fresh_table = _dedup_candidates(candidates, seen, config, bloom, tracer)
 
         # ---- retries: 5xx rows re-enqueue with attempts+1 ----------------
-        retry_rows = _retry_rows(pages_table, wave, config.retry_max_attempts)
+        retry_rows = _retry_rows(meta["failed"], wave, config.retry_max_attempts)
 
         next_frontier_parts = [t for t in (deferred, fresh_table, retry_rows) if t.num_rows]
         frontier = (
@@ -387,26 +567,41 @@ def run_crawl(config: CrawlConfig, resume: bool = False) -> CrawlResult:
         )
 
         # ---- lineage + checkpoint ---------------------------------------
+        if tracer: tracer.mark("checkpoint")
         stats_after = seen.stats()
         write_refs.append(store.write_async(
             "lineage",
             epoch,
             _lineage_table(
                 epoch,
-                pages_table,
-                candidates.num_rows,
+                meta["lineage_fetch"],
+                candidates_n,
                 fresh_table.num_rows,
                 stats_before,
                 stats_after,
-                n_partitions=config.n_seen_shards,
             ),
         ))
         write_refs.append(store.write_async("frontier", epoch, frontier))
         write_refs.append(store.write_async("seen", epoch, seen.snapshot_table()))
-        ray.get(write_refs)  # epoch barrier: all tables durable before the mark
-        store.mark_epoch_complete(epoch, config.key())
+        pending_writes = (epoch, write_refs)
         epoch += 1
 
+    if pending_writes is not None:
+        prev_epoch, prev_refs = pending_writes
+        ray.get(prev_refs)
+        store.mark_epoch_complete(prev_epoch, config.key())
+    if tracer:
+        tracer.mark(None)
+        tracer.dump()
+        import sys
+
+        ws = ray.get([w.stats.remote() for w in fetch_pool])
+        print(
+            f"[spider-ray trace] workers n={len(ws)} "
+            f"busy_sum={sum(w.get('busy_s', 0) for w in ws):.1f}s "
+            f"dedup_sum={sum(w.get('dedup_s', 0) for w in ws):.1f}s",
+            file=sys.stderr,
+        )
     store.mark_done()
     final_stats = seen.stats()
     return CrawlResult(
@@ -432,12 +627,16 @@ def _collect_tables(ds) -> pa.Table | None:
     return pa.concat_tables(tables) if tables else None
 
 
-def _fetch_wave(wave: pa.Table, config: CrawlConfig, fetch_pool: list) -> dict | None:
-    """Fetch+parse+extract one wave → {pages (slim), candidates, images,
-    documents}. Pool mode: slice the wave round-robin over the persistent
-    actors (deterministic: results concatenated in slice order). Dataset
-    mode: ``map_batches(FetchStage)`` with streaming execution, then one
-    distributed derivation pass per product over the materialized blocks."""
+def _fetch_wave(
+    wave: pa.Table, config: CrawlConfig, fetch_pool: list, store=None, epoch: int = 0
+) -> dict | None:
+    """Fetch+parse+extract+dedup one wave → meta dict:
+    {fresh, failed, lineage_fetch, n_pages, n_images, n_candidates_raw,
+    write_refs}. Pool mode: one contiguous chunk per worker; each worker
+    writes its own pages/images/documents partition to the epoch store and
+    ships back only fresh candidates + counters. Dataset mode:
+    ``map_batches(FetchStage)`` streaming execution with driver-side sinks
+    (for waves that must spill)."""
     use_dataset = config.fetch_mode == "dataset" or (
         config.fetch_mode == "auto" and wave.num_rows > config.dataset_wave_threshold
     )
@@ -459,64 +658,80 @@ def _fetch_wave(wave: pa.Table, config: CrawlConfig, fetch_pool: list) -> dict |
             .materialize()
         )
         slim_cols = list(_PAGE_SLIM_COLS) + (["content", "body_bytes"] if keep else [])
-        products = {
-            "pages": _collect_tables(
-                pages_full.map_batches(
-                    lambda t: t.select(slim_cols), batch_format="pyarrow"
-                )
-            ),
-            "candidates": _collect_tables(
-                pages_full.map_batches(extract_candidates_batch, batch_format="pyarrow")
-            ),
-            "images": _collect_tables(
-                pages_full.map_batches(images_from_pages_batch, batch_format="pyarrow")
-            ),
-            "documents": _collect_tables(
-                pages_full.map_batches(
-                    lambda t: to_documents_batch(t, include_html=keep),
-                    batch_format="pyarrow",
-                )
-            ),
-        }
-    else:
-        # adaptive slice size: at least ~4 slices per worker so small waves
-        # still saturate the pool, capped at fetch_batch_size
-        bs = max(
-            32,
-            min(
-                config.fetch_batch_size,
-                -(-wave.num_rows // (len(fetch_pool) * 4)),
-            ),
+        pages = _collect_tables(
+            pages_full.map_batches(lambda t: t.select(slim_cols), batch_format="pyarrow")
         )
-        slices = [wave.slice(o, bs) for o in range(0, wave.num_rows, bs)]
-        refs = [
-            fetch_pool[i % len(fetch_pool)].process.remote(s, keep)
-            for i, s in enumerate(slices)
-        ]
-        parts = ray.get(refs)
-        if not parts:
+        if pages is None:
             return None
-        products = {
-            key: pa.concat_tables([p[key] for p in parts])
-            for key in ("pages", "candidates", "images", "documents")
-        }
-    if products["pages"] is None:
-        return None
-    from ..schemas import DOCUMENTS_SCHEMA, IMAGES_SCHEMA
+        from ..schemas import DOCUMENTS_SCHEMA, IMAGES_SCHEMA
 
-    empties = {
-        "candidates": FRONTIER_SCHEMA,
-        "images": IMAGES_SCHEMA,
-        "documents": DOCUMENTS_SCHEMA,
+        candidates = _collect_tables(
+            pages_full.map_batches(extract_candidates_batch, batch_format="pyarrow")
+        ) or FRONTIER_SCHEMA.empty_table()
+        images = _collect_tables(
+            pages_full.map_batches(images_from_pages_batch, batch_format="pyarrow")
+        ) or IMAGES_SCHEMA.empty_table()
+        documents = _collect_tables(
+            pages_full.map_batches(
+                lambda t: to_documents_batch(t, include_html=keep),
+                batch_format="pyarrow",
+            )
+        ) or DOCUMENTS_SCHEMA.empty_table()
+        write_refs = [store.write_async("pages", epoch, pages)]
+        if images.num_rows:
+            write_refs.append(store.write_async("images", epoch, images))
+        if documents.num_rows:
+            write_refs.append(store.write_async("documents", epoch, documents))
+        return {
+            "fresh": None,  # driver dedups in this mode
+            "candidates_raw": candidates,
+            "failed": _failed_rows(pages),
+            "lineage_fetch": _lineage_fetch_partial(pages, config.n_seen_shards),
+            "n_pages": pages.num_rows,
+            "n_images": images.num_rows,
+            "n_candidates_raw": candidates.num_rows,
+            "write_refs": write_refs,
+        }
+    # ---- pool mode: workers write their own partitions ------------------
+    import os
+    import shutil
+
+    sink = {t: store.epoch_dir(t, epoch) for t in ("pages", "images", "documents")}
+    for d in sink.values():  # idempotent re-run of a crashed epoch
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    n_chunks = max(1, min(len(fetch_pool) * 3, -(-wave.num_rows // 64)))
+    chunk_rows = -(-wave.num_rows // n_chunks)
+    refs = [
+        fetch_pool[i % len(fetch_pool)].process_chunk.remote(
+            wave.slice(i * chunk_rows, chunk_rows),
+            keep,
+            config.fetch_batch_size,
+            sink,
+            i,
+            config.n_seen_shards,
+        )
+        for i in range(n_chunks)
+    ]
+    parts = ray.get(refs)
+    if not parts:
+        return None
+    lineage = pa.concat_tables([p["lineage"] for p in parts])
+    return {
+        "fresh": pa.concat_tables([p["fresh"] for p in parts]),
+        "candidates_raw": None,
+        "failed": pa.concat_tables([p["failed"] for p in parts]),
+        "lineage_fetch": lineage,
+        "n_pages": sum(p["n_pages"] for p in parts),
+        "n_images": sum(p["n_images"] for p in parts),
+        "n_candidates_raw": sum(p["n_candidates_raw"] for p in parts),
+        "write_refs": [],
     }
-    for key, schema in empties.items():
-        if products[key] is None:
-            products[key] = schema.empty_table()
-    return products
 
 
 def _dedup_candidates(
-    candidates: pa.Table, seen: ShardedSeen, config: CrawlConfig, bloom=None
+    candidates: pa.Table, seen: ShardedSeen, config: CrawlConfig, bloom=None,
+    tracer=None,
 ) -> pa.Table:
     """Admit unseen candidates. Small sets: direct sharded RPC fan-out from
     the driver (already parallel across shard actors), with an optional
@@ -525,15 +740,21 @@ def _dedup_candidates(
     if candidates.num_rows == 0:
         return _empty_frontier()
     if candidates.num_rows <= config.driver_wave_threshold:
+        if tracer: tracer.mark("dedup.keys")
         keys = candidates.column("url_hash").to_numpy().astype(np.uint64)
         if bloom is not None:
+            if tracer: tracer.mark("dedup.bloom")
             need = ~bloom.contains_many(keys)
             unseen = np.zeros(len(keys), dtype=bool)
             if need.any():
+                if tracer: tracer.mark("dedup.rpc")
                 unseen[need] = seen.check_and_add(keys[need])
+                if tracer: tracer.mark("dedup.bloom_add")
                 bloom.add_many(keys[need])
         else:
+            if tracer: tracer.mark("dedup.rpc")
             unseen = seen.check_and_add(keys)
+        if tracer: tracer.mark("dedup.filter")
         return candidates.filter(pa.array(unseen))
     dedup = DedupStage(seen, use_bloom=config.use_bloom)
     fresh = (
@@ -550,14 +771,11 @@ def _dedup_candidates(
     return pa.concat_tables(batches) if batches else _empty_frontier()
 
 
-def _retry_rows(pages_table: pa.Table, wave: pa.Table, max_attempts: int) -> pa.Table:
-    status = pages_table.column("status")
-    retryable = pc.and_(
-        pc.greater_equal(status, 500), pc.less(status, 600)
-    )
-    if not pc.any(retryable).as_py():
+def _retry_rows(failed: pa.Table, wave: pa.Table, max_attempts: int) -> pa.Table:
+    """Re-enqueue 5xx rows with attempts+1 (bounded) — failure is data, not
+    an exception; the frontier is the retry queue (SURVEY.md §4)."""
+    if failed.num_rows == 0:
         return _empty_frontier()
-    failed = pages_table.filter(retryable)
     failed_hashes = set(failed.column("url_hash").to_pylist())
     mask = [
         (h in failed_hashes) and ((a or 0) < max_attempts)
@@ -576,38 +794,37 @@ def _retry_rows(pages_table: pa.Table, wave: pa.Table, max_attempts: int) -> pa.
 
 def _lineage_table(
     epoch: int,
-    pages_table: pa.Table,
+    fetch_partials: pa.Table,
     candidates_n: int,
     fresh_n: int,
     stats_before: dict,
     stats_after: dict,
-    n_partitions: int,
 ) -> pa.Table:
-    """Per-partition lineage rows (partition = url_hash % n_partitions)."""
-    part_ids = (
-        pages_table.column("url_hash").to_numpy().astype(np.uint64)
-        % np.uint64(n_partitions)
-    ).astype(np.int64)
-    cache_hits = pages_table.column("cache_hit").to_numpy(zero_copy_only=False)
-    statuses = pages_table.column("status").to_numpy()
-    rows = []
-    for p in range(n_partitions):
-        mask = part_ids == p
-        rows.append(
-            {
-                "epoch": epoch,
-                "partition_id": p,
-                "stage": "fetch",
-                "rows_in": int(mask.sum()),
-                "rows_out": int(mask.sum()),
-                "fetches": int(mask.sum() - cache_hits[mask].sum()),
-                "cache_hits": int(cache_hits[mask].sum()),
-                "dedup_checks": None,
-                "dedup_hits": None,
-                "errors": int((statuses[mask] >= 400).sum()),
-                "wall_ms": None,
-            }
-        )
+    """Aggregate per-chunk fetch partials into per-partition lineage rows
+    plus one dedup-stage row (shard-stat delta for the epoch)."""
+    import pandas as pd
+
+    agg = (
+        fetch_partials.to_pandas()
+        .groupby("partition_id", as_index=False)[["rows", "cache_hits", "errors"]]
+        .sum()
+    )
+    rows = [
+        {
+            "epoch": epoch,
+            "partition_id": int(r.partition_id),
+            "stage": "fetch",
+            "rows_in": int(r.rows),
+            "rows_out": int(r.rows),
+            "fetches": int(r.rows - r.cache_hits),
+            "cache_hits": int(r.cache_hits),
+            "dedup_checks": None,
+            "dedup_hits": None,
+            "errors": int(r.errors),
+            "wall_ms": None,
+        }
+        for r in agg.itertuples()
+    ]
     rows.append(
         {
             "epoch": epoch,

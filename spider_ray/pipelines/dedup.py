@@ -197,13 +197,28 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
+_TOKEN_BITS_CACHE: dict[str, np.ndarray] = {}
+
+
+def _token_bits(tok: str) -> np.ndarray:
+    """±1 bit vector of a token's 64-bit md5 hash, memoized — natural-language
+    vocabularies repeat heavily, so the per-process cache removes almost all
+    hashing from the hot path."""
+    got = _TOKEN_BITS_CACHE.get(tok)
+    if got is None:
+        h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+        bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        got = np.where(bits.astype(bool), 1, -1).astype(np.int64)
+        if len(_TOKEN_BITS_CACHE) < 1_000_000:
+            _TOKEN_BITS_CACHE[tok] = got
+    return got
+
+
 def simhash64(text: str) -> int:
     """Charikar 64-bit SimHash over whitespace tokens (md5 token hashes)."""
     acc = np.zeros(64, dtype=np.int64)
     for tok in text.split():
-        h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
+        acc += _token_bits(tok)
     value = 0
     for i in range(64):
         if acc[i] > 0:
