@@ -41,7 +41,7 @@ import pyarrow.compute as pc
 import ray
 
 from ..functions.urls import canonicalize_url, host_of, url_hash64
-from ..schemas import FRONTIER_SCHEMA, LINEAGE_SCHEMA
+from ..schemas import FRONTIER_SCHEMA, LINEAGE_SCHEMA, PAGES_SCHEMA
 from ..sources.fixtures import MockWeb, MockWebConfig
 from ..sources.storage import EpochStore
 from ..stages.dedup import DedupStage
@@ -228,47 +228,162 @@ class FetchWorker:
         part_id: int = 0,
         n_partitions: int = 4,
     ) -> dict:
-        """One wave-chunk per worker: iterate micro-batches internally,
-        dedup own candidates against the seen shards, and (when ``sink``
-        maps table→directory) WRITE this chunk's pages/images/documents
-        partition directly — the resumable per-partition output layout.
-        The driver receives only fresh candidates + small metadata, so
-        per-wave driver traffic is O(new URLs), not O(fetched bytes)."""
+        """One wave-chunk per worker — the fused row pipeline.
+
+        Fetch → link parse → candidate/document/image assembly run row-wise
+        in plain Python, and Arrow tables are materialized exactly ONCE per
+        chunk (the earlier micro-batch implementation built + concatenated
+        + re-converted tables several times per chunk, which dominated the
+        memory-bandwidth budget at high worker counts). When ``sink`` maps
+        table→directory the worker writes its own partition files; the
+        driver receives only fresh candidates + counters. Equivalence with
+        the Dataset-mode path is pinned by tests/test_fetch_modes.py.
+        """
         import time as _time
 
+        from ..functions.links import extract_html_links
+        from ..functions.urls import canonicalize_url, host_of, is_valid_url, url_hash64
+        from ..stages.parse import document_row, image_row, priority_of
+
         _t0 = _time.perf_counter()
-        parts = [
-            parse_links_batch(self.stage(chunk.slice(o, batch_size)))
-            for o in range(0, chunk.num_rows, batch_size)
-        ]
-        pages = pa.concat_tables(parts).combine_chunks()
-        products = _process_pages(pages, keep_content)
+        urls = chunk.column("url").to_pylist()
+        depths = (
+            chunk.column("depth").to_pylist()
+            if "depth" in chunk.column_names else [0] * len(urls)
+        )
+        attempts = (
+            chunk.column("attempts").to_pylist()
+            if "attempts" in chunk.column_names else [0] * len(urls)
+        )
+        anchors = (
+            chunk.column("anchor_text").to_pylist()
+            if "anchor_text" in chunk.column_names else [None] * len(urls)
+        )
+        hashes = (
+            chunk.column("url_hash").to_pylist()
+            if "url_hash" in chunk.column_names
+            else [url_hash64(u) for u in urls]
+        )
+
+        pcol: dict[str, list] = {c: [] for c in _PAGE_SLIM_COLS}
+        if keep_content:
+            pcol["content"] = []
+            pcol["body_bytes"] = []
+        cand: dict[str, list] = {k: [] for k in (
+            "url", "url_hash", "host", "priority", "depth", "parent_url_hash",
+            "anchor_text",
+        )}
+        image_rows: list[dict] = []
+        doc_rows: list[dict] = []
+        n_raw = 0
+        for i, url in enumerate(urls):
+            r = self.stage._fetch_one(url, attempts[i] or 0)
+            status = r["status"]
+            content = r["content"]
+            ctype = r["content_type"]
+            links = r.get("links")
+            if links is None and status < 400 and ctype and "html" in ctype and content:
+                links = [l.as_dict() for l in extract_html_links(content, r["final_url"])]
+            pcol["url"].append(url)
+            pcol["final_url"].append(r["final_url"])
+            pcol["url_hash"].append(hashes[i])
+            pcol["host"].append(host_of(url))
+            pcol["depth"].append(depths[i])
+            pcol["status"].append(status)
+            pcol["content_type"].append(ctype)
+            pcol["filename"].append(r["filename"])
+            pcol["fetched_at"].append(_FIXED_EPOCH_MS)
+            pcol["cache_hit"].append(r["cache_hit"])
+            pcol["strategy_type"].append(
+                "tree" if self.stage.adapter == "tree" else "basic"
+            )
+            pcol["strategy_spider"].append(self.stage.adapter)
+            pcol["confidence"].append(self.stage._confidence(r))
+            pcol["duration_ms"].append(int(r["duration_ms"]))
+            pcol["link_count"].append(len(links) if links is not None else 0)
+            pcol["interaction_count"].append(r["interactions"])
+            pcol["complete"].append(status < 400)
+            pcol["error"].append(r["error"])
+            if keep_content:
+                pcol["content"].append(content)
+                pcol["body_bytes"].append(r["body_bytes"])
+            if links:
+                n_raw += len(links)
+                for link in links:
+                    href = link["href"]
+                    if not is_valid_url(href):
+                        n_raw -= 1
+                        continue
+                    canonical = canonicalize_url(href)
+                    cand["url"].append(canonical)
+                    cand["url_hash"].append(url_hash64(canonical))
+                    cand["host"].append(host_of(canonical))
+                    cand["priority"].append(priority_of(canonical))
+                    cand["depth"].append((depths[i] or 0) + 1)
+                    cand["parent_url_hash"].append(hashes[i])
+                    cand["anchor_text"].append(link.get("text"))
+            img = image_row(url, r["body_bytes"], status, anchors[i])
+            if img is not None:
+                image_rows.append(img)
+            doc = document_row(
+                url, status, ctype, content, r["body_bytes"], r["filename"],
+                include_html=keep_content,
+            )
+            if doc is not None:
+                doc_rows.append(doc)
+
+        from ..schemas import DOCUMENTS_SCHEMA, IMAGES_SCHEMA
+
+        n = len(cand["url"])
+        candidates = pa.table(
+            {
+                "url": pa.array(cand["url"], pa.string()),
+                "url_hash": pa.array(cand["url_hash"], pa.uint64()),
+                "host": pa.array(cand["host"], pa.string()),
+                "priority": pa.array(cand["priority"], pa.float64()),
+                "depth": pa.array(cand["depth"], pa.int32()),
+                "discovered_at": pa.nulls(n, pa.timestamp("ms")),
+                "parent_url_hash": pa.array(cand["parent_url_hash"], pa.uint64()),
+                "attempts": pa.array([0] * n, pa.int32()),
+                "anchor_text": pa.array(cand["anchor_text"], pa.string()),
+            }
+        )
+        slim_cols = list(_PAGE_SLIM_COLS) + (
+            ["content", "body_bytes"] if keep_content else []
+        )
+        pages = pa.table(
+            {c: pa.array(pcol[c], PAGES_SCHEMA.field(c).type) for c in slim_cols}
+        )
+        images = (
+            pa.Table.from_pylist(image_rows, schema=IMAGES_SCHEMA)
+            if image_rows else IMAGES_SCHEMA.empty_table()
+        )
+        documents = (
+            pa.Table.from_pylist(doc_rows, schema=DOCUMENTS_SCHEMA)
+            if doc_rows else DOCUMENTS_SCHEMA.empty_table()
+        )
         _t1 = _time.perf_counter()
         out = {
-            "n_candidates_raw": products["candidates"].num_rows,
-            "n_pages": products["pages"].num_rows,
-            "n_images": products["images"].num_rows,
-            "n_documents": products["documents"].num_rows,
-            "fresh": self._dedup_local(products["candidates"]),
-            "failed": _failed_rows(products["pages"]),
-            "lineage": _lineage_fetch_partial(products["pages"], n_partitions),
+            "n_candidates_raw": candidates.num_rows,
+            "n_pages": pages.num_rows,
+            "n_images": images.num_rows,
+            "n_documents": documents.num_rows,
+            "fresh": self._dedup_local(candidates),
+            "failed": _failed_rows(pages),
+            "lineage": _lineage_fetch_partial(pages, n_partitions),
         }
         self.dedup_s += _time.perf_counter() - _t1
         if sink is not None:
             from ..sources.storage import write_table
 
             name = f"part-{part_id:05d}.parquet"
-            write_table(products["pages"], sink["pages"], name)
-            if products["images"].num_rows:
-                write_table(products["images"], sink["images"], name)
-            if products["documents"].num_rows:
-                write_table(products["documents"], sink["documents"], name)
+            write_table(pages, sink["pages"], name)
+            if images.num_rows:
+                write_table(images, sink["images"], name)
+            if documents.num_rows:
+                write_table(documents, sink["documents"], name)
         else:
-            out.update(
-                pages=products["pages"],
-                images=products["images"],
-                documents=products["documents"],
-            )
+            out.update(pages=pages, images=images, documents=documents)
         self.busy_s += _time.perf_counter() - _t0
         return out
 
@@ -700,7 +815,9 @@ def _fetch_wave(
     for d in sink.values():  # idempotent re-run of a crashed epoch
         if os.path.exists(d):
             shutil.rmtree(d)
-    n_chunks = max(1, min(len(fetch_pool) * 3, -(-wave.num_rows // 64)))
+    # exactly one chunk per worker per wave: fewer seen-shard probe RPCs
+    # (the shard actors serialize; probe count per wave = pool size)
+    n_chunks = max(1, min(len(fetch_pool), -(-wave.num_rows // 64)))
     chunk_rows = -(-wave.num_rows // n_chunks)
     refs = [
         fetch_pool[i % len(fetch_pool)].process_chunk.remote(

@@ -120,79 +120,95 @@ def extract_candidates_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def document_row(
+    url: str,
+    status: int,
+    content_type: str | None,
+    content: str | None,
+    body_bytes: bytes | None,
+    filename: str | None,
+    include_html: bool = True,
+) -> dict | None:
+    """Row-level 3-way scrapeDocument branch (scrapeDocument.ts:249-320);
+    None for error rows. Single source of truth for both the batch
+    transform and the fused worker path."""
+    if status >= 400 or status == 0:
+        return None
+    content = content or ""
+    if body_bytes is not None:
+        ctype = content_type or infer_content_type(filename)
+        return {
+            "url": url, "mime_type": ctype, "text": "", "html": None,
+            "is_download": True, "file_content": body_bytes,
+            "filename": filename, "content_type": ctype, "title": None,
+            "description": None,
+            "is_pdf": ctype == "application/pdf" or sniff_format(body_bytes) == "pdf",
+            "complete": True, "strategy": "direct-download",
+        }
+    detected = detect_document_url(url, content)
+    if detected is not None:
+        return {
+            "url": detected.url, "mime_type": detected.type, "text": "",
+            "html": None, "is_download": False, "file_content": None,
+            "filename": None, "content_type": detected.type, "title": None,
+            "description": None, "is_pdf": detected.is_pdf, "complete": False,
+            "strategy": detected.strategy,
+        }
+    is_pdf = looks_like_pdf(url, content)
+    meta = extract_html_metadata(content)
+    return {
+        "url": url,
+        "mime_type": "application/pdf" if is_pdf else "text/html",
+        "text": "" if is_pdf else strip_html_to_text(content),
+        "html": (content if include_html else None),
+        "is_download": False, "file_content": None, "filename": None,
+        "content_type": None, "title": meta["title"],
+        "description": meta["description"], "is_pdf": is_pdf,
+        "complete": True,
+        "strategy": "pdf-direct" if is_pdf else "html-extraction",
+    }
+
+
+def image_row(url: str, body: bytes | None, status: int, anchor: str | None) -> dict | None:
+    """Row-level image assembly (input-hint schema); None for non-images."""
+    if status >= 400 or body is None:
+        return None
+    fmt = sniff_format(body)
+    if fmt not in ("png", "jpeg"):
+        return None
+    pixels = decode_image(body)
+    return {
+        "image_id": url,
+        "bytes": body,
+        "w": int(pixels.shape[1]),
+        "h": int(pixels.shape[0]),
+        "fmt": fmt,
+        "caption": anchor if anchor else url.rsplit("/", 1)[-1],
+        "phash": phash64(pixels),
+    }
+
+
 def to_documents_batch(batch: pa.Table, include_html: bool = True) -> pa.Table:
     """ScrapeResult → DocumentResult rows (scrapeDocument.ts:249-320).
 
     ``include_html=False`` drops the raw-HTML column from the sink (the
     extracted text/metadata stay) — at crawl scale the full markup is
     redundant with the pages store and dominates the row size."""
-    n = batch.num_rows
     cols = {name: batch.column(name).to_pylist() for name in (
-        "url", "final_url", "status", "content_type", "content",
-        "body_bytes", "filename",
+        "url", "status", "content_type", "content", "body_bytes", "filename",
     )}
-    out = {name: [] for name in DOCUMENTS_SCHEMA.names}
-    for i in range(n):
-        url = cols["url"][i]
-        content = cols["content"][i] or ""
-        body = cols["body_bytes"][i]
-        filename = cols["filename"][i]
-        status = cols["status"][i]
-        if status >= 400 or status == 0:
-            continue  # error rows are not documents
-        if body is not None:
-            # branch 1: direct download (scrapeDocument.ts:258-281)
-            ctype = cols["content_type"][i] or infer_content_type(filename)
-            out["url"].append(url)
-            out["mime_type"].append(ctype)
-            out["text"].append("")
-            out["html"].append(None)
-            out["is_download"].append(True)
-            out["file_content"].append(body)
-            out["filename"].append(filename)
-            out["content_type"].append(ctype)
-            out["title"].append(None)
-            out["description"].append(None)
-            out["is_pdf"].append(ctype == "application/pdf" or sniff_format(body) == "pdf")
-            out["complete"].append(True)
-            out["strategy"].append("direct-download")
-            continue
-        detected = detect_document_url(url, content)
-        if detected is not None:
-            # branch 2: detector redirect record (scrapeDocument.ts:283-298)
-            out["url"].append(detected.url)
-            out["mime_type"].append(detected.type)
-            out["text"].append("")
-            out["html"].append(None)
-            out["is_download"].append(False)
-            out["file_content"].append(None)
-            out["filename"].append(None)
-            out["content_type"].append(detected.type)
-            out["title"].append(None)
-            out["description"].append(None)
-            out["is_pdf"].append(detected.is_pdf)
-            out["complete"].append(False)
-            out["strategy"].append(detected.strategy)
-            continue
-        # branch 3: PDF sniff / HTML text+metadata (scrapeDocument.ts:300-319)
-        is_pdf = looks_like_pdf(url, content)
-        meta = extract_html_metadata(content)
-        out["url"].append(url)
-        out["mime_type"].append("application/pdf" if is_pdf else "text/html")
-        out["text"].append("" if is_pdf else strip_html_to_text(content))
-        out["html"].append(content if include_html else None)
-        out["is_download"].append(False)
-        out["file_content"].append(None)
-        out["filename"].append(None)
-        out["content_type"].append(None)
-        out["title"].append(meta["title"])
-        out["description"].append(meta["description"])
-        out["is_pdf"].append(is_pdf)
-        out["complete"].append(True)
-        out["strategy"].append("pdf-direct" if is_pdf else "html-extraction")
-    return pa.table(
-        {name: pa.array(out[name], DOCUMENTS_SCHEMA.field(name).type) for name in DOCUMENTS_SCHEMA.names}
-    )
+    rows = []
+    for i in range(batch.num_rows):
+        row = document_row(
+            cols["url"][i], cols["status"][i], cols["content_type"][i],
+            cols["content"][i], cols["body_bytes"][i], cols["filename"][i],
+            include_html=include_html,
+        )
+        if row is not None:
+            rows.append(row)
+    if not rows:
+        return DOCUMENTS_SCHEMA.empty_table()
+    return pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA)
 
 
 def images_from_pages_batch(batch: pa.Table) -> pa.Table:
@@ -204,6 +220,8 @@ def images_from_pages_batch(batch: pa.Table) -> pa.Table:
     fill w/h/phash — the Ray-side plumbing a real libjpeg/libpng stage
     would use, at the same seam.
     """
+    from ..schemas import IMAGES_SCHEMA
+
     urls = batch.column("url").to_pylist()
     bodies = batch.column("body_bytes").to_pylist()
     statuses = batch.column("status").to_pylist()
@@ -212,23 +230,11 @@ def images_from_pages_batch(batch: pa.Table) -> pa.Table:
         if "anchor_text" in batch.column_names
         else [None] * len(urls)
     )
-    out = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
+    rows = []
     for url, body, status, anchor in zip(urls, bodies, statuses, anchors):
-        if status >= 400 or body is None:
-            continue
-        fmt = sniff_format(body)
-        if fmt not in ("png", "jpeg"):
-            continue
-        pixels = decode_image(body)
-        out["image_id"].append(url)
-        out["bytes"].append(body)
-        out["w"].append(int(pixels.shape[1]))
-        out["h"].append(int(pixels.shape[0]))
-        out["fmt"].append(fmt)
-        out["caption"].append(anchor if anchor else url.rsplit("/", 1)[-1])
-        out["phash"].append(phash64(pixels))
-    from ..schemas import IMAGES_SCHEMA
-
-    return pa.table(
-        {name: pa.array(out[name], IMAGES_SCHEMA.field(name).type) for name in IMAGES_SCHEMA.names}
-    )
+        row = image_row(url, body, status, anchor)
+        if row is not None:
+            rows.append(row)
+    if not rows:
+        return IMAGES_SCHEMA.empty_table()
+    return pa.Table.from_pylist(rows, schema=IMAGES_SCHEMA)
