@@ -27,6 +27,8 @@ _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
 def resolve_href(href: str, base_url: str) -> str:
     """Absolutize ``href`` against ``base_url``; passthrough on failure."""
+    if href.startswith(("http://", "https://")):
+        return href  # already absolute — urljoin would return it unchanged
     try:
         out = urljoin(base_url, href)
         return out if out else href
@@ -85,15 +87,24 @@ def normalize_download_page_url(url: str) -> str:
     return url
 
 
+_VALID_FAST_RE = re.compile(r"^https?://[^/?#]+")
+
+
 def is_valid_url(url: str | None) -> bool:
     """Admission filter: non-empty http(s) URL with a host."""
     if not url:
         return False
+    if _VALID_FAST_RE.match(url):  # fast path: scheme + nonempty netloc
+        return True
     try:
         parts = urlsplit(url)
     except ValueError:
         return False
     return parts.scheme in ("http", "https") and bool(parts.netloc)
+
+
+# already-canonical shape: lowercase host, no port/query/fragment, has path
+_CANONICAL_FAST_RE = re.compile(r"^https?://[a-z0-9.\-]+/[^#?]*$")
 
 
 def canonicalize_url(url: str) -> str:
@@ -104,6 +115,11 @@ def canonicalize_url(url: str) -> str:
     Query strings are preserved (they select distinct resources, e.g.
     ``?wpdmdl=``).
     """
+    if _CANONICAL_FAST_RE.match(url):
+        # fast path: only the download-page normalization can still apply
+        return (
+            normalize_download_page_url(url) if "/download/" in url else url
+        )
     try:
         scheme, netloc, path, query, _frag = urlsplit(url)
     except ValueError:
@@ -120,8 +136,14 @@ def canonicalize_url(url: str) -> str:
     return normalize_download_page_url(out)
 
 
+_HOST_FAST_RE = re.compile(r"^https?://([a-z0-9.\-]+)[/?#]")
+
+
 def host_of(url: str) -> str:
     """Host (netloc without port) of a URL; '' when unparsable."""
+    m = _HOST_FAST_RE.match(url)
+    if m:
+        return m.group(1)
     try:
         netloc = urlsplit(url).netloc.lower()
     except ValueError:

@@ -169,6 +169,37 @@ def find_document_links(
     )
 
 
+@dataclass
+class AdapterContext:
+    """P7 (src/platform/context.ts:46-59): binds fetch_page / scrape_index
+    to ONE configured spider so both detection phases and the platform
+    extractor use the same adapter + options."""
+
+    web_config: MockWebConfig | None
+    adapter: str = "simple"
+
+    def fetch_page(self, url: str) -> str | None:
+        """One-off HTML fetch with the bound adapter (detection phase)."""
+        from ..stages.fetch import FetchStage
+
+        stage = FetchStage(web_config=self.web_config, adapter=self.adapter)
+        resp = stage._fetch_one(url, 0)
+        if resp["status"] >= 400 or resp["status"] == 0:
+            return None
+        return resp["content"]
+
+    def scrape_index(self, urls: list[str], **kw):
+        return scrape_index(
+            urls, web_config=self.web_config, adapter=self.adapter, **kw
+        )
+
+
+def create_adapter_context(
+    web_config: MockWebConfig | None = None, adapter: str = "simple"
+) -> AdapterContext:
+    return AdapterContext(web_config=web_config, adapter=adapter)
+
+
 # ---------------------------------------------------------------------------
 # Platform engine (P6) — registry, two-phase detection, routing
 # ---------------------------------------------------------------------------

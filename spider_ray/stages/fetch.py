@@ -138,17 +138,19 @@ class FetchStage:
             return self._row(
                 url, url, 0, None, None, None, None, 0.0, False, "ValidationError"
             )
-        key = create_cache_key(
-            self.adapter,
-            url,
-            [{"adapter": self.adapter, "customSelectors": self.custom_selectors or None}],
-        )
-        if self.cache_enabled and key in self.cache:
-            self.cache.move_to_end(key)
-            self.cache_hits += 1
-            cached = dict(self.cache[key])
-            cached["cache_hit"] = True
-            return cached
+        key = None
+        if self.cache_enabled:  # key derivation skipped entirely when off
+            key = create_cache_key(
+                self.adapter,
+                url,
+                [{"adapter": self.adapter, "customSelectors": self.custom_selectors or None}],
+            )
+            if key in self.cache:
+                self.cache.move_to_end(key)
+                self.cache_hits += 1
+                cached = dict(self.cache[key])
+                cached["cache_hit"] = True
+                return cached
         if self.simulated_latency_us:
             time.sleep(self.simulated_latency_us / 1e6)
         resp = self.web.resolve(url, attempts=attempts)

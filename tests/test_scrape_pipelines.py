@@ -59,6 +59,17 @@ def test_find_document_links_distinct(ray_session):
     assert sorted(out["href"]) == sorted({image_url(0, cfg), image_url(5, cfg)})
 
 
+def test_adapter_context_binds_one_spider(ray_session):
+    from spider_ray.pipelines.scrape import create_adapter_context
+
+    ctx = create_adapter_context(web_config=CFG, adapter="simple")
+    html = ctx.fetch_page(page_url(0, CFG))
+    assert html is not None and "Page 0" in html
+    assert ctx.fetch_page("http://h0.test/missing") is None
+    out = ctx.scrape_index([page_url(0, CFG)], concurrency=1).to_pandas()
+    assert out.iloc[0]["strategy_spider"] == "simple"
+
+
 def test_platform_registry_two_phase():
     reg = PlatformRegistry()
     fetches = []
