@@ -66,8 +66,10 @@ def run_bench() -> dict:
     from spider_ray.sources.fixtures import MockWebConfig, seed_urls
 
     # universe sized from the sf tier's largest table so the workload scales
-    # with sf (documents is ~constant across tiers)
-    n_pages = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    # with sf (documents is ~constant across tiers); ×10 so per-wave compute
+    # amortizes the per-wave scheduling fixed costs the way a real
+    # long-running crawl does
+    n_pages = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows * 10
     web = MockWebConfig(n_pages=n_pages, n_hosts=7, img_every=5, img_size=16)
     out_dir = f"/tmp/spider_ray_bench/cpu{ncpu}"
     if os.path.exists(out_dir):
@@ -89,6 +91,7 @@ def run_bench() -> dict:
         fetch_batch_size=256,
         fetch_mode="pool",  # persistent actors across the many waves
         driver_wave_threshold=10_000_000,
+        checkpoint_interval=4,  # durable every 4 waves; resume replays ≤3
         max_epochs=256,
     )
     t0 = time.perf_counter()
@@ -100,7 +103,7 @@ def run_bench() -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as entrymod
 
-    for name in (
+    query_names = () if os.environ.get("BENCH_CRAWL_ONLY") else (
         "token_counts",
         "lineitem_agg",
         "partitioned_join",
@@ -109,7 +112,8 @@ def run_bench() -> dict:
         "ann_topk",
         "simhash_pairs",
         "image_decode_stats",
-    ):
+    )
+    for name in query_names:
         fn = entrymod.queries()[name]
         t0 = time.perf_counter()
         fn(sf_dir)
@@ -137,7 +141,7 @@ def run_scaling() -> dict:
     """Same job at 8 and 32 CPUs in fresh processes → scaling efficiency."""
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_CRAWL_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

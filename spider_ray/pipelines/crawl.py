@@ -123,6 +123,10 @@ class CrawlConfig:
     # the seen-set already guarantees ≤1 fetch per URL, so per-URL cache-key
     # hashing (sha256 + canonical JSON) is pure overhead; retries refetch
     fetch_cache: bool = False
+    # frontier+seen checkpoint every K epochs: resume replays ≤K-1 epochs
+    # deterministically/idempotently; K>1 amortizes the frontier serialize
+    # (the frontier is the largest driver-held table at scale)
+    checkpoint_interval: int = 1
 
     def key(self) -> str:
         payload = asdict(self)
@@ -447,8 +451,38 @@ def wave_select_arrow(
     if frontier.num_rows == 0:
         return frontier, frontier
     prio = frontier.column("priority").to_numpy()
-    hashes = frontier.column("url_hash").to_numpy()
-    order = np.lexsort((hashes, -prio))  # primary: -priority, tie: hash
+    hashes = frontier.column("url_hash").to_numpy().astype(np.uint64)
+    # composite single-key sort (≈4× cheaper than 2-key lexsort): engine
+    # priorities are k/1000 exactly, so they pack into 10 bits next to the
+    # top 54 hash bits; the (vanishingly rare) composite collisions are
+    # resolved exactly on the full hash below
+    scaled = prio * 1000.0
+    prio_int = np.round(scaled)
+    if np.array_equal(scaled, prio_int) and (prio_int < 1000).all() and (prio_int >= 0).all():
+        composite = (
+            ((np.uint64(999) - prio_int.astype(np.uint64)) << np.uint64(54))
+            | (hashes >> np.uint64(10))
+        )
+        order = np.argsort(composite, kind="stable")
+        comp_sorted = composite[order]
+        tie_pos = np.nonzero(comp_sorted[1:] == comp_sorted[:-1])[0]
+        if tie_pos.size:  # exact tie-break on the full 64-bit hash
+            runs = np.split(tie_pos, np.nonzero(np.diff(tie_pos) > 1)[0] + 1)
+            for run in runs:
+                s, e = run[0], run[-1] + 2
+                idx = order[s:e]
+                order[s:e] = idx[np.argsort(hashes[idx], kind="stable")]
+    else:
+        order = np.lexsort((hashes, -prio))  # primary: -priority, tie: hash
+    if max_per_host >= frontier.num_rows:
+        # politeness cap can't bind → pure priority cut (skips the per-row
+        # host accounting, which is O(frontier) python work)
+        wave_idx = order[:wave_k]
+        deferred_idx = order[wave_k:]
+        return (
+            frontier.take(pa.array(wave_idx)),
+            frontier.take(pa.array(deferred_idx)),
+        )
     hosts = np.asarray(frontier.column("host").to_pylist(), dtype=object)[order]
     # rank of each row within its host, in wave order
     import collections
@@ -602,6 +636,7 @@ def run_crawl(config: CrawlConfig, resume: bool = False) -> CrawlResult:
 
     tracer = _Tracer() if _TRACE else None
     pending_writes: tuple[int, list] | None = None
+    unflushed_refs: list = []
     while frontier.num_rows > 0 and epoch < config.max_epochs:
         if tracer: tracer.mark("wave_select")
         politeness.begin_wave()
@@ -696,15 +731,30 @@ def run_crawl(config: CrawlConfig, resume: bool = False) -> CrawlResult:
                 stats_after,
             ),
         ))
-        write_refs.append(store.write_async("frontier", epoch, frontier))
-        write_refs.append(store.write_async("seen", epoch, seen.snapshot_table()))
-        pending_writes = (epoch, write_refs)
+        unflushed_refs.extend(write_refs)
+        if (epoch + 1) % config.checkpoint_interval == 0:
+            unflushed_refs.append(store.write_async("frontier", epoch, frontier))
+            unflushed_refs.append(
+                store.write_async("seen", epoch, seen.snapshot_table())
+            )
+            pending_writes = (epoch, unflushed_refs)
+            unflushed_refs = []
         epoch += 1
 
     if pending_writes is not None:
         prev_epoch, prev_refs = pending_writes
         ray.get(prev_refs)
         store.mark_epoch_complete(prev_epoch, config.key())
+        pending_writes = None
+    if unflushed_refs or (epoch > start_epoch and store.last_epoch() != epoch - 1):
+        # final (partial-interval) checkpoint so the finished state is durable
+        unflushed_refs.append(store.write_async("frontier", epoch - 1, frontier))
+        unflushed_refs.append(
+            store.write_async("seen", epoch - 1, seen.snapshot_table())
+        )
+        ray.get(unflushed_refs)
+        store.mark_epoch_complete(epoch - 1, config.key())
+        unflushed_refs = []
     if tracer:
         tracer.mark(None)
         tracer.dump()
@@ -816,12 +866,13 @@ def _fetch_wave(
         if os.path.exists(d):
             shutil.rmtree(d)
     # exactly one chunk per worker per wave: fewer seen-shard probe RPCs
-    # (the shard actors serialize; probe count per wave = pool size)
+    # (the shard actors serialize; probe count per wave = pool size).
+    # Rows are STRIDED across chunks (i::n) — cheap HTML rows and expensive
+    # image rows mix evenly, so no chunk becomes the wave's straggler.
     n_chunks = max(1, min(len(fetch_pool), -(-wave.num_rows // 64)))
-    chunk_rows = -(-wave.num_rows // n_chunks)
     refs = [
         fetch_pool[i % len(fetch_pool)].process_chunk.remote(
-            wave.slice(i * chunk_rows, chunk_rows),
+            wave.take(pa.array(range(i, wave.num_rows, n_chunks))),
             keep,
             config.fetch_batch_size,
             sink,

@@ -79,14 +79,36 @@ class CuckooFilter:
         return False  # filter over-full
 
     def add_many(self, keys: np.ndarray) -> int:
-        """Insert keys; returns number successfully inserted."""
+        """Insert keys; returns number successfully inserted.
+
+        Bulk fast path: vectorized placement over (bucket1, bucket2) × 4
+        slots — at the sized load factor almost every key lands without
+        eviction; only the residue walks the per-key eviction loop.
+        """
         keys = np.asarray(keys)
         if len(keys) == 0:
             return 0
         fp, b1 = self._fp_and_bucket(keys)
         b2 = self._alt_bucket(b1, fp)
-        ok = 0
-        for i in range(len(keys)):
+        n = len(keys)
+        pending = np.ones(n, dtype=bool)
+        for buckets in (b1, b2):
+            for slot in range(4):
+                if not pending.any():
+                    break
+                idx = np.nonzero(pending)[0]
+                b_sel = buckets[idx]
+                empty = self.table[b_sel, slot] == 0
+                idx = idx[empty]
+                if idx.size == 0:
+                    continue
+                # same bucket twice in one pass → keep first occurrence only
+                _, first = np.unique(buckets[idx], return_index=True)
+                chosen = idx[np.sort(first)]
+                self.table[buckets[chosen], slot] = fp[chosen]
+                pending[chosen] = False
+        ok = int(n - pending.sum())
+        for i in np.nonzero(pending)[0]:  # rare eviction path
             if self._insert_one(int(fp[i]), int(b1[i]), int(b2[i])):
                 ok += 1
         self.n_items += ok

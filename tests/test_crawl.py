@@ -178,6 +178,30 @@ def test_resume_equivalence(ray_session, tmp_path):
     assert ia.sort_by("image_id").equals(ib.sort_by("image_id"))
 
 
+def test_resume_with_checkpoint_interval(ray_session, tmp_path):
+    """K>1 checkpointing: resume replays ≤K-1 epochs idempotently and the
+    final state equals an uninterrupted run."""
+    from dataclasses import replace
+
+    cfg = MockWebConfig(n_pages=120, n_hosts=7)
+    seeds = seed_urls(cfg, every=40)
+    base = CrawlConfig(
+        out_dir=str(tmp_path / "full"), seeds=seeds, web=cfg, wave_k=10_000,
+        exact_seen=True, fetch_concurrency=2, checkpoint_interval=3,
+    )
+    full = run_crawl(base)
+    part_cfg = replace(base, out_dir=str(tmp_path / "part"), max_epochs=4)
+    run_crawl(part_cfg)
+    resumed = run_crawl(replace(part_cfg, max_epochs=64), resume=True)
+    a = EpochStore(base.out_dir).read_all("order").to_pydict()
+    b = EpochStore(part_cfg.out_dir).read_all("order").to_pydict()
+    assert a == b
+    assert resumed.seen_size == full.seen_size
+    ia = EpochStore(base.out_dir).read_all("images").sort_by("image_id")
+    ib = EpochStore(part_cfg.out_dir).read_all("images").sort_by("image_id")
+    assert ia.equals(ib)
+
+
 def test_error_rows_and_retry(ray_session, tmp_path):
     cfg = MockWebConfig(n_pages=60, n_hosts=7, with_errors=True)
     config = CrawlConfig(

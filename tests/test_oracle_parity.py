@@ -2,12 +2,14 @@
 entry at sf0.001 and compare with its oracle_sql() via DuckDB
 (row-count + sorted-column, order-insensitive value comparison)."""
 
+import os
+
 import duckdb
 import pandas as pd
 import pyarrow as pa
 import pytest
 
-SF = "/root/testdata/sf0.001"
+SF = os.environ.get("GRAFT_PARITY_SF", "/root/testdata/sf0.001")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
