@@ -10,24 +10,31 @@ fetch scheduler". Per wave (epoch):
    tie-break on ``url_hash`` is what makes crawl ordering reproducible
    under parallelism (reference ordering = caller order + priority chains,
    SURVEY.md §2.7 O6).
-2. **Fetch** — ``map_batches(FetchStage, concurrency=N)`` actor pool
-   (adapter parity, cache, error rows).
-3. **Parse/extract** — links, candidates, documents, images as stateless
-   ``map_batches`` transforms.
-4. **Dedup** — candidates through ``DedupStage`` (bloom pre-filter + sharded
-   cuckoo/exact seen actors) → next frontier; batched RPCs to hash-owned
-   shards instead of an all-to-all shuffle.
-5. **Checkpoint** — pages/images/documents/order/lineage/frontier/seen
-   written per epoch (EpochStore); an interrupted crawl resumes from the
-   last completed epoch exactly (kill-and-resume test in tests/).
+2. **Fetch + parse + extract + dedup** — one strided chunk per persistent
+   ``FetchWorker`` actor; the worker fetches (adapter parity, error rows),
+   parses links, assembles candidates/documents/images, probes the sharded
+   bloom+cuckoo seen set for its own candidates (batched RPCs to
+   hash-owned shard actors — no all-to-all shuffle), and writes its own
+   pages/images/documents partition files. Driver traffic per wave is
+   O(new URLs), not O(fetched bytes). For waves that must stream/spill, a
+   Dataset-mode path runs the same transforms via
+   ``map_batches(FetchStage)`` (equivalence pinned by
+   tests/test_fetch_modes.py).
+3. **Frontier update + checkpoint** — fresh candidates + politeness
+   deferrals + bounded 5xx retries form the next frontier; per-epoch order
+   + lineage tables, and frontier + seen snapshots every
+   ``checkpoint_interval`` epochs (writes are parallel Ray tasks overlapped
+   with the next wave's fetch). An interrupted crawl resumes from the last
+   completed checkpoint, replaying at most interval-1 waves idempotently
+   (kill-and-resume tests in tests/).
 
-Scale notes: each wave materializes at most ``wave_k`` pages (the streaming
-unit — sized so a wave fits aggregate cluster memory); the frontier itself
-lives in the epoch store, not on the driver. Wave selection has two
-equivalent implementations — a numpy fast path for frontiers that fit one
-block, and a Ray Data ``groupby(host)/sort`` path for frontiers beyond
-driver memory (``wave_select_dataset``); both are deterministic and
-property-tested for equality.
+Scale notes: each wave materializes at most ``wave_k`` pages per worker set
+(the streaming unit — sized so a wave fits aggregate cluster memory); big
+binary payloads never pass through the driver. Wave selection has two
+equivalent implementations — a numpy fast path (composite-key sort) and a
+Ray Data ``groupby(host)/sort`` path for frontiers beyond driver memory
+(``wave_select_dataset``); both are deterministic and property-tested for
+equality.
 """
 
 from __future__ import annotations
