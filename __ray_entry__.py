@@ -1008,6 +1008,44 @@ def _q_ivf_topk(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_ngram_jaccard(sf_dir: str) -> pa.Table:
+    _ctx()
+    from spider_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    raw = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(raw.column("doc_id").to_pylist(), raw.column("text").to_pylist()))
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ngram_jaccard_pairs(ds, texts_by_id=texts, threshold=0.6)
+    return out.select(["id_a", "id_b"])
+
+
+def _q_phash_neardup(sf_dir: str) -> pa.Table:
+    """Multimodal near-dup: perceptual-hash band blocking over a synthetic
+    images table that includes deliberate re-encodes (png↔fake-jpeg of the
+    same pixels) — the canonical phash-dup case."""
+    _ctx()
+    from spider_ray.functions.imagecodec import decode_image, encode_image, phash64
+    from spider_ray.pipelines.dedup import hash_band_pairs
+    from spider_ray.sources.fixtures import MockWeb, MockWebConfig, image_pixels
+
+    n = min(200, pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows)
+    cfg = MockWebConfig(n_pages=n)
+    rows = []
+    for i in range(0, n, CRAWL_IMG_EVERY):
+        pixels = image_pixels(i, cfg)
+        for fmt in ("png", "jpeg"):  # same pixels, two encodings → near-dups
+            data = encode_image(pixels, fmt)
+            rows.append(
+                {
+                    "image_id": f"img-{i}-{fmt}",
+                    "phash": int(np.int64(np.uint64(phash64(decode_image(data))))),
+                }
+            )
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = hash_band_pairs(ds, hash_col="phash", id_col="image_id", max_hamming=3)
+    return out.select(["id_a", "id_b", "hamming"])
+
+
 def _q_image_decode_stats(sf_dir: str) -> pa.Table:
     _ctx()
     from spider_ray.sources.fixtures import MockWeb, MockWebConfig
@@ -1350,6 +1388,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "phash_neardup": _q_phash_neardup,
         "embedding_neardup": _q_embedding_neardup,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,

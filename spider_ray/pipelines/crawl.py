@@ -148,23 +148,6 @@ _PAGE_SLIM_COLS = [
 ]
 
 
-def _process_pages(pages: pa.Table, keep_content: bool) -> dict:
-    """Full page rows → the four wave products (all per-row work happens
-    here, INSIDE the worker — the driver only concatenates)."""
-    candidates = extract_candidates_batch(pages)
-    images = images_from_pages_batch(pages)
-    documents = to_documents_batch(pages, include_html=keep_content)
-    slim_cols = list(_PAGE_SLIM_COLS)
-    if keep_content:
-        slim_cols += ["content", "body_bytes"]
-    return {
-        "pages": pages.select(slim_cols),
-        "candidates": candidates,
-        "images": images,
-        "documents": documents,
-    }
-
-
 @ray.remote
 class FetchWorker:
     """Persistent fetch+parse+extract actor reused across waves.
@@ -222,13 +205,6 @@ class FetchWorker:
         else:
             unseen = self.seen.check_and_add(keys)
         return candidates.filter(pa.array(unseen))
-
-    def process(self, batch: pa.Table, keep_content: bool) -> dict:
-        pages = parse_links_batch(self.stage(batch))
-        out = _process_pages(pages, keep_content)
-        out["n_candidates_raw"] = out["candidates"].num_rows
-        out["candidates"] = self._dedup_local(out["candidates"])
-        return out
 
     def process_chunk(
         self,
@@ -785,10 +761,6 @@ def run_crawl(config: CrawlConfig, resume: bool = False) -> CrawlResult:
         dedup_hits=final_stats["dedup_hits"],
         seen_size=final_stats["n_items"],
     )
-
-
-def parse_candidates(pages_table: pa.Table) -> pa.Table:
-    return extract_candidates_batch(pages_table)
 
 
 def _collect_tables(ds) -> pa.Table | None:

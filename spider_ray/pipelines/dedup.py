@@ -275,6 +275,85 @@ def simhash_pairs(ds, id_col="doc_id", text_col="text", max_hamming: int = 3):
     return pa.Table.from_pandas(pairs.reset_index(drop=True), preserve_index=False)
 
 
+def hash_band_pairs(
+    ds,
+    hash_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+):
+    """Near-dup pairs among 64-bit hashes via band blocking (pigeonhole:
+    hamming ≤ n_bands-1 ⇒ at least one 16-bit band equal). Works for any
+    64-bit perceptual/fingerprint hash column — e.g. the images table's
+    ``phash`` (multimodal near-dup) or a simhash column."""
+    def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        hashes = batch[hash_col].to_numpy().astype(np.int64).view(np.uint64)
+        out = {"band_id": [], "band_val": [], "_id": [], "_hash": []}
+        for b in range(n_bands):
+            out["band_id"].extend([b] * len(ids))
+            out["band_val"].extend(
+                ((hashes >> np.uint64(16 * b)) & np.uint64(0xFFFF)).tolist()
+            )
+            out["_id"].extend(ids.tolist())
+            out["_hash"].extend(hashes.view(np.int64).tolist())
+        return pd.DataFrame(out)
+
+    def pairs_of(group: pd.DataFrame) -> pd.DataFrame:
+        uniq = group.drop_duplicates("_id").sort_values("_id")
+        recs = list(zip(uniq["_id"], uniq["_hash"]))
+        out = {"id_a": [], "id_b": [], "hamming": []}
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                d = bin(
+                    (np.uint64(np.int64(recs[i][1])) ^ np.uint64(np.int64(recs[j][1])))
+                    & np.uint64(2**64 - 1)
+                ).count("1")
+                if d <= max_hamming:
+                    out["id_a"].append(recs[i][0])
+                    out["id_b"].append(recs[j][0])
+                    out["hamming"].append(d)
+        return pd.DataFrame(out)
+
+    pairs = (
+        ds.map_batches(to_bands, batch_format="pandas")
+        .groupby(["band_id", "band_val"])
+        .map_groups(pairs_of, batch_format="pandas")
+        .to_pandas()
+    )
+    if pairs.empty:
+        return pa.table(
+            {"id_a": pa.array([], pa.string()), "id_b": pa.array([], pa.string()),
+             "hamming": pa.array([], pa.int64())}
+        )
+    pairs = pairs.drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"])
+    return pa.Table.from_pandas(pairs.reset_index(drop=True), preserve_index=False)
+
+
+def ngram_jaccard_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    texts_by_id: dict | None = None,
+):
+    """Exact character-n-gram Jaccard near-dup pairs.
+
+    Candidate generation reuses the MinHash-LSH banding (the scalable
+    blocker); every candidate pair is then verified with the TRUE n-gram
+    Jaccard — so results are exact w.r.t. the threshold, modulo LSH recall
+    on the candidate side."""
+    return minhash_lsh_pairs(
+        ds,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_k=shingle_k,
+        verify_threshold=threshold,
+        texts_by_id=texts_by_id,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding near-dup (cosine LSH buckets)
 # ---------------------------------------------------------------------------

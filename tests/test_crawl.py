@@ -229,6 +229,23 @@ def test_error_rows_and_retry(ray_session, tmp_path):
         assert rows.column("error").to_pylist()[0].startswith("NetworkError")
 
 
+def test_robots_respected_end_to_end(ray_session, tmp_path):
+    """respect_robots: /private/ URLs are discovered but never fetched."""
+    cfg = MockWebConfig(n_pages=80, n_hosts=7, with_private=True)
+    config = CrawlConfig(
+        out_dir=str(tmp_path / "robots"), seeds=seed_urls(cfg, every=20),
+        web=cfg, wave_k=10_000, exact_seen=True, fetch_concurrency=2,
+        respect_robots=True,
+    )
+    run_crawl(config)
+    order = EpochStore(config.out_dir).read_all("order")
+    fetched = order.column("url").to_pylist()
+    assert fetched, "crawl fetched nothing"
+    assert not any("/private/" in u for u in fetched)
+    # pages outside /private/ still crawled normally
+    assert any("/p/" in u for u in fetched)
+
+
 def test_lineage_metrics_recorded(small_crawl):
     _, config, result = small_crawl
     lineage = EpochStore(config.out_dir).read_all("lineage")

@@ -113,6 +113,30 @@ def test_ivf_topk_recall(emb_ds):
     assert np.mean(recalls) >= 0.6, recalls
 
 
+def test_phash_band_pairs_find_reencodes(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from spider_ray.functions.imagecodec import decode_image, encode_image, phash64
+    from spider_ray.pipelines.dedup import hash_band_pairs
+    from spider_ray.sources.fixtures import MockWebConfig, image_pixels
+
+    cfg = MockWebConfig(n_pages=100)
+    rows = []
+    for i in range(0, 50, 5):
+        pixels = image_pixels(i, cfg)
+        for fmt in ("png", "jpeg"):
+            ph = phash64(decode_image(encode_image(pixels, fmt)))
+            rows.append({"image_id": f"img-{i}-{fmt}", "phash": int(np.int64(np.uint64(ph)))})
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    pairs = hash_band_pairs(ds, "phash", "image_id", max_hamming=3).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    for i in range(0, 50, 5):
+        pair = tuple(sorted([f"img-{i}-png", f"img-{i}-jpeg"]))
+        assert pair in got, f"re-encode pair missing for {i}"
+    assert (pairs["hamming"] <= 3).all()
+
+
 def test_text_analysis_pipeline(docs_ds):
     from spider_ray.pipelines.textops import analyze
 
