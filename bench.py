@@ -169,8 +169,56 @@ def run_scaling() -> dict:
     }
 
 
+def run_calibration() -> dict:
+    """Quantify the host's per-core slowdown under full load (no Ray).
+
+    A fixed single-core workload is timed alone vs with 31 background
+    burner processes. The ratio is the frequency/steal/bandwidth penalty
+    the VM imposes on every core when all cores are busy — a property of
+    the shared box, not of the engine. Divide the ideal 4× N→4N speedup by
+    this ratio to get the hardware-adjusted scaling ceiling this sandbox
+    allows (see BASELINE.md)."""
+    import hashlib
+    import multiprocessing as mp
+    import time
+
+    def burn(stop_t):
+        x = b"x" * 1000
+        while time.time() < stop_t:
+            for _ in range(1000):
+                x = hashlib.md5(x).digest() * 62 + b"xy"
+
+    def probe(n_iters=120_000):
+        t0 = time.perf_counter()
+        x = b"seed" * 16
+        for _ in range(n_iters):
+            x = hashlib.md5(x).digest() * 4
+        return time.perf_counter() - t0
+
+    solo = min(probe() for _ in range(3))
+    stop = time.time() + 8
+    procs = [mp.Process(target=burn, args=(stop,)) for _ in range(31)]
+    for p in procs:
+        p.start()
+    time.sleep(1.5)
+    loaded = min(probe() for _ in range(3))
+    for p in procs:
+        p.join()
+    ratio = loaded / solo
+    return {
+        "metric": "fullload_percore_slowdown",
+        "value": round(ratio, 3),
+        "unit": "ratio",
+        "solo_sec": round(solo, 4),
+        "loaded_sec": round(loaded, 4),
+        "hardware_adjusted_ceiling": round(1.0 / ratio, 3),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--calibrate" in sys.argv:
+        print(json.dumps(run_calibration()))
     else:
         print(json.dumps(run_bench()))
