@@ -27,6 +27,13 @@ import pyarrow.parquet as pq
 
 import ray
 
+# make spider_ray importable regardless of the driver's cwd
+sys_path_dir = os.path.dirname(os.path.abspath(__file__))
+import sys
+
+if sys_path_dir not in sys.path:
+    sys.path.insert(0, sys_path_dir)
+
 # url-corpus params shared between python and SQL
 N_URL_HOSTS = 5
 CRAWL_HOSTS = 7
