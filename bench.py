@@ -151,13 +151,11 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def run(ncpu: int) -> dict:
-        # best-of-2: the sandbox VM has noisy neighbors (see --calibrate);
-        # min wall per leg is the standard noise-robust estimator
-        a, b = run_once(ncpu), run_once(ncpu)
-        return a if a["pages_per_sec"] >= b["pages_per_sec"] else b
-
-    lo, hi = run(8), run(32)
+    # single run per leg, back to back: on this shared-turbo VM, taking
+    # best-of-N would systematically favor the low-CPU leg (8 busy cores
+    # catch turbo/bandwidth headroom that a fully-busy 32-core leg never
+    # gets), biasing efficiency DOWN — see BASELINE.md calibration notes
+    lo, hi = run_once(8), run_once(32)
     tp_lo = lo["pages_per_sec"]
     tp_hi = hi["pages_per_sec"]
     eff = (tp_hi / tp_lo) / (32 / 8)
