@@ -623,9 +623,20 @@ def run_crawl(config: CrawlConfig, resume: bool = False) -> CrawlResult:
     while frontier.num_rows > 0 and epoch < config.max_epochs:
         if tracer: tracer.mark("wave_select")
         politeness.begin_wave()
-        wave, deferred = wave_select_arrow(
-            frontier, config.wave_k, config.max_per_host_per_wave
-        )
+        if frontier.num_rows > config.driver_wave_threshold:
+            # beyond-driver-memory frontier → Ray Data shuffle plan
+            # (groupby(host) cap → sort → limit), equivalence-tested against
+            # the numpy path in tests/test_wave_select.py
+            wave, deferred_ds = wave_select_dataset(
+                ray.data.from_arrow(frontier),
+                config.wave_k,
+                config.max_per_host_per_wave,
+            )
+            deferred = _collect_tables(deferred_ds) or _empty_frontier()
+        else:
+            wave, deferred = wave_select_arrow(
+                frontier, config.wave_k, config.max_per_host_per_wave
+            )
         if config.respect_robots:
             hosts = wave.column("host").to_pylist()
             urls = wave.column("url").to_pylist()
