@@ -1110,6 +1110,101 @@ FROM events GROUP BY event_type, hour
 """
 
 
+def _q_events_sliding_agg(sf_dir: str) -> pa.Table:
+    """Sliding 1-hour window per user: for each event, the count of that
+    user's events in (ts - 1h, ts]. Partition-sort-scan inside map_groups
+    (numpy searchsorted) — the streaming sliding-window shape."""
+    _ctx()
+
+    HOUR_US = 3_600 * 1_000_000
+
+    def slide(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = group["ts"].astype("int64").to_numpy()
+        # events in window = index - first index with ts > ts_i - 1h + 1
+        starts = np.searchsorted(ts, ts - HOUR_US, side="right")
+        n_in_window = np.arange(len(ts)) - starts + 1
+        return pd.DataFrame(
+            {
+                "event_id": group["event_id"].to_numpy(),
+                "user_id": group["user_id"].to_numpy(),
+                "n_in_window": n_in_window.astype("int64"),
+            }
+        )
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = ds.groupby("user_id").map_groups(slide, batch_format="pandas").to_pandas()
+    return pa.table(
+        {
+            "event_id": pa.array(out["event_id"].astype("int64")),
+            "user_id": pa.array(out["user_id"].astype("int64")),
+            "n_in_window": pa.array(out["n_in_window"].astype("int64")),
+        }
+    )
+
+
+_SQL_EVENTS_SLIDING_AGG = """
+SELECT event_id, user_id,
+       count(*) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ) - count(*) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND INTERVAL 1 HOUR PRECEDING
+       ) AS n_in_window
+FROM events
+"""
+
+
+def _q_events_topk_per_type(sf_dir: str) -> pa.Table:
+    """Top-3 events per event_type by value (grouped top-k via
+    map_groups; deterministic tie-break on event_id)."""
+    _ctx()
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.copy()
+        g["cents"] = _half_up(g["value"].to_numpy() * 100).astype("int64")
+        g = g.sort_values(["cents", "event_id"], ascending=[False, True])
+        return g.head(3)[["event_type", "event_id", "cents"]]
+
+    ds = _read(sf_dir, "events", columns=["event_type", "event_id", "value"])
+    out = ds.groupby("event_type").map_groups(topk, batch_format="pandas").to_pandas()
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "event_id": pa.array(out["event_id"].astype("int64")),
+            "cents": pa.array(out["cents"].astype("int64")),
+        }
+    )
+
+
+_SQL_EVENTS_TOPK_PER_TYPE = """
+WITH ranked AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id ASC
+         ) AS rn
+  FROM events
+)
+SELECT event_type, event_id, cents FROM ranked WHERE rn <= 3
+"""
+
+
+def _q_distinct_sources(sf_dir: str) -> pa.Table:
+    """Exact global distinct (set op) over a string column."""
+    _ctx()
+    ds = _read(sf_dir, "documents", columns=["source"])
+    values = sorted(ds.unique("source"))
+    return pa.table({"source": pa.array(values, pa.string())})
+
+
+_SQL_DISTINCT_SOURCES = """
+SELECT DISTINCT source FROM documents
+"""
+
+
 def _q_events_topk_users(sf_dir: str) -> pa.Table:
     _ctx()
 
@@ -1404,6 +1499,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events / relational
         "events_hour_agg": _q_events_hour_agg,
         "events_sessionize": _q_events_sessionize,
+        "events_sliding_agg": _q_events_sliding_agg,
+        "events_topk_per_type": _q_events_topk_per_type,
+        "distinct_sources": _q_distinct_sources,
         "hash_sample": _q_hash_sample,
         "events_topk_users": _q_events_topk_users,
         "broadcast_revenue": _q_broadcast_revenue,
@@ -1439,6 +1537,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _SQL_ANN_TOPK,
         "events_hour_agg": _SQL_EVENTS_HOUR_AGG,
         "events_sessionize": _SQL_EVENTS_SESSIONIZE,
+        "events_sliding_agg": _SQL_EVENTS_SLIDING_AGG,
+        "events_topk_per_type": _SQL_EVENTS_TOPK_PER_TYPE,
+        "distinct_sources": _SQL_DISTINCT_SOURCES,
         "hash_sample": _SQL_HASH_SAMPLE,
         "events_topk_users": _SQL_EVENTS_TOPK_USERS,
         "broadcast_revenue": _SQL_BROADCAST_REVENUE,
