@@ -941,10 +941,8 @@ def _q_minhash_pairs(sf_dir: str) -> pa.Table:
     _ctx()
     from spider_ray.pipelines.dedup import minhash_lsh_pairs
 
-    raw = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    texts = dict(zip(raw.column("doc_id").to_pylist(), raw.column("text").to_pylist()))
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = minhash_lsh_pairs(ds, texts_by_id=texts, verify_threshold=0.8)
+    out = minhash_lsh_pairs(ds, verify_threshold=0.8)
     return out.select(["id_a", "id_b"])
 
 
@@ -956,13 +954,50 @@ def _q_simhash_pairs(sf_dir: str) -> pa.Table:
     return simhash_pairs(ds).select(["id_a", "id_b", "hamming"])
 
 
+EMB_PLANT_EVERY = 37
+EMB_PLANT_OFFSET = 1_000_000
+
+
 def _q_embedding_neardup(sf_dir: str) -> pa.Table:
+    """Cosine near-dup pairs over the embeddings table with PLANTED
+    duplicates (every {EMB_PLANT_EVERY}th vector re-appears under
+    vec_id+{EMB_PLANT_OFFSET}) so the result set is non-trivial and
+    oracle-checkable against brute-force DuckDB cosine (VERDICT r1 #5 —
+    the r1 query verified zero pairs)."""
     _ctx()
+    import pyarrow.compute as pc
+
     from spider_ray.pipelines.dedup import embedding_neardup_pairs
 
-    ds = _read(sf_dir, "embeddings")
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        dup = batch.filter(pa.array(ids % EMB_PLANT_EVERY == 0))
+        dup = dup.set_column(
+            dup.schema.get_field_index("vec_id"),
+            "vec_id",
+            pc.add(dup.column("vec_id"), EMB_PLANT_OFFSET),
+        )
+        return pa.concat_tables([batch, dup])
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+        plant, batch_format="pyarrow"
+    )
     out = embedding_neardup_pairs(ds, threshold=0.95)
     return out.select(["id_a", "id_b"])
+
+
+_SQL_EMBEDDING_NEARDUP = f"""
+WITH allv AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {EMB_PLANT_OFFSET} AS vec_id, embedding
+  FROM embeddings WHERE vec_id % {EMB_PLANT_EVERY} = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+ORDER BY id_a, id_b
+"""
 
 
 def _q_ann_topk(sf_dir: str) -> pa.Table:
@@ -1019,10 +1054,8 @@ def _q_ngram_jaccard(sf_dir: str) -> pa.Table:
     _ctx()
     from spider_ray.pipelines.dedup import ngram_jaccard_pairs
 
-    raw = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    texts = dict(zip(raw.column("doc_id").to_pylist(), raw.column("text").to_pylist()))
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = ngram_jaccard_pairs(ds, texts_by_id=texts, threshold=0.6)
+    out = ngram_jaccard_pairs(ds, threshold=0.6)
     return out.select(["id_a", "id_b"])
 
 
@@ -1042,10 +1075,12 @@ def _q_phash_neardup(sf_dir: str) -> pa.Table:
         pixels = image_pixels(i, cfg)
         for fmt in ("png", "jpeg"):  # same pixels, two encodings → near-dups
             data = encode_image(pixels, fmt)
+            from spider_ray.pipelines.dedup import _to_i64
+
             rows.append(
                 {
                     "image_id": f"img-{i}-{fmt}",
-                    "phash": int(np.int64(np.uint64(phash64(decode_image(data))))),
+                    "phash": _to_i64(phash64(decode_image(data))),
                 }
             )
     ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
@@ -1111,29 +1146,13 @@ FROM events GROUP BY event_type, hour
 
 
 def _q_events_sliding_agg(sf_dir: str) -> pa.Table:
-    """Sliding 1-hour window per user: for each event, the count of that
-    user's events in (ts - 1h, ts]. Partition-sort-scan inside map_groups
-    (numpy searchsorted) — the streaming sliding-window shape."""
+    """Sliding 1-hour window per user — thin caller over
+    spider_ray.pipelines.events.sliding_window_counts."""
     _ctx()
-
-    HOUR_US = 3_600 * 1_000_000
-
-    def slide(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values(["ts", "event_id"], kind="mergesort")
-        ts = group["ts"].astype("int64").to_numpy()
-        # events in window = index - first index with ts > ts_i - 1h + 1
-        starts = np.searchsorted(ts, ts - HOUR_US, side="right")
-        n_in_window = np.arange(len(ts)) - starts + 1
-        return pd.DataFrame(
-            {
-                "event_id": group["event_id"].to_numpy(),
-                "user_id": group["user_id"].to_numpy(),
-                "n_in_window": n_in_window.astype("int64"),
-            }
-        )
+    from spider_ray.pipelines.events import sliding_window_counts
 
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
-    out = ds.groupby("user_id").map_groups(slide, batch_format="pandas").to_pandas()
+    out = sliding_window_counts(ds).to_pandas()
     return pa.table(
         {
             "event_id": pa.array(out["event_id"].astype("int64")),
@@ -1157,18 +1176,27 @@ FROM events
 
 
 def _q_events_topk_per_type(sf_dir: str) -> pa.Table:
-    """Top-3 events per event_type by value (grouped top-k via
-    map_groups; deterministic tie-break on event_id)."""
+    """Top-3 events per event_type by value — thin caller over
+    spider_ray.pipelines.events.grouped_topk."""
     _ctx()
+    from spider_ray.pipelines.events import grouped_topk
 
-    def topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.copy()
-        g["cents"] = _half_up(g["value"].to_numpy() * 100).astype("int64")
-        g = g.sort_values(["cents", "event_id"], ascending=[False, True])
-        return g.head(3)[["event_type", "event_id", "cents"]]
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "event_id": batch["event_id"],
+                "cents": _half_up(batch["value"].to_numpy() * 100).astype("int64"),
+            }
+        )
 
-    ds = _read(sf_dir, "events", columns=["event_type", "event_id", "value"])
-    out = ds.groupby("event_type").map_groups(topk, batch_format="pandas").to_pandas()
+    ds = _read(sf_dir, "events", columns=["event_type", "event_id", "value"]).map_batches(
+        prep, batch_format="pandas"
+    )
+    out = grouped_topk(
+        ds, "event_type", "cents", "event_id", k=3,
+        keep_cols=["event_type", "event_id", "cents"],
+    ).to_pandas()
     return pa.table(
         {
             "event_type": pa.array(out["event_type"], pa.string()),
@@ -1193,11 +1221,13 @@ SELECT event_type, event_id, cents FROM ranked WHERE rn <= 3
 
 
 def _q_distinct_sources(sf_dir: str) -> pa.Table:
-    """Exact global distinct (set op) over a string column."""
+    """Exact global distinct (set op) — thin caller over
+    spider_ray.pipelines.events.distinct_values."""
     _ctx()
+    from spider_ray.pipelines.events import distinct_values
+
     ds = _read(sf_dir, "documents", columns=["source"])
-    values = sorted(ds.unique("source"))
-    return pa.table({"source": pa.array(values, pa.string())})
+    return distinct_values(ds, "source")
 
 
 _SQL_DISTINCT_SOURCES = """
@@ -1239,34 +1269,13 @@ ORDER BY cents DESC, user_id ASC LIMIT 10
 
 
 def _q_events_sessionize(sf_dir: str) -> pa.Table:
-    """Session windows (30-min inactivity gap) per user — the
-    streaming-shaped workload pattern: partition by key, sort by time
-    within the group, windowing inside ``map_groups`` (ray_guide)."""
+    """Session windows (30-min inactivity gap) per user — thin caller over
+    spider_ray.pipelines.events.sessionize."""
     _ctx()
-
-    GAP_US = 30 * 60 * 1_000_000
-
-    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values(["ts", "event_id"], kind="mergesort")
-        ts = group["ts"].astype("int64").to_numpy()
-        brk = np.zeros(len(ts), dtype=np.int64)
-        if len(ts) > 1:
-            brk[1:] = (np.diff(ts) > GAP_US).astype(np.int64)
-        session = np.cumsum(brk)
-        out = pd.DataFrame(
-            {
-                "user_id": group["user_id"].to_numpy(),
-                "session_id": session,
-            }
-        )
-        return (
-            out.groupby(["user_id", "session_id"], as_index=False)
-            .size()
-            .rename(columns={"size": "n_events"})
-        )
+    from spider_ray.pipelines.events import sessionize
 
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
-    out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas").to_pandas()
+    out = sessionize(ds).to_pandas()
     return pa.table(
         {
             "user_id": pa.array(out["user_id"].astype("int64")),
@@ -1295,20 +1304,13 @@ FROM sessions GROUP BY user_id, session_id
 
 
 def _q_hash_sample(sf_dir: str) -> pa.Table:
-    """Deterministic hash-based sampling (reproducible across engines,
-    unlike RNG sampling): keep rows where md5(doc_id) lands in 1/16 of the
-    key space."""
+    """Deterministic hash-based sampling — thin caller over
+    spider_ray.pipelines.events.hash_sample (md5-bucket membership,
+    reproducible across engines unlike RNG sampling)."""
     _ctx()
+    from spider_ray.pipelines.events import hash_sample
 
-    def run(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        keep = [
-            d for d in ids
-            if int(hashlib.md5(str(d).encode()).hexdigest()[:2], 16) % 16 == 0
-        ]
-        return pa.table({"doc_id": pa.array(keep, pa.int64())})
-
-    return _collect(_doc_ids_ds(sf_dir).map_batches(run, batch_format="pyarrow"))
+    return _collect(hash_sample(_doc_ids_ds(sf_dir), "doc_id", buckets=16))
 
 
 _SQL_HASH_SAMPLE = """
@@ -1545,8 +1547,8 @@ def oracle_sql() -> dict[str, str]:
         "broadcast_revenue": _SQL_BROADCAST_REVENUE,
         "partitioned_join": _SQL_PARTITIONED_JOIN,
         "lineitem_agg": _SQL_LINEITEM_AGG,
+        "embedding_neardup": _SQL_EMBEDDING_NEARDUP,
         # lang_quality / fingerprints / minhash_pairs / simhash_pairs /
-        # embedding_neardup / ivf_topk / image_decode_stats are deliberately
-        # non-SQL (heuristic / sketch / approximate / binary-decode) →
-        # rows-only checks.
+        # ivf_topk / image_decode_stats are deliberately non-SQL
+        # (heuristic / sketch / approximate / binary-decode) → rows-only.
     }

@@ -256,6 +256,7 @@ class FetchWorker:
         if keep_content:
             pcol["content"] = []
             pcol["body_bytes"] = []
+            pcol["downloads"] = []
         cand: dict[str, list] = {k: [] for k in (
             "url", "url_hash", "host", "priority", "depth", "parent_url_hash",
             "anchor_text",
@@ -294,6 +295,7 @@ class FetchWorker:
             if keep_content:
                 pcol["content"].append(content)
                 pcol["body_bytes"].append(r["body_bytes"])
+                pcol["downloads"].append(r.get("downloads"))
             if links:
                 n_raw += len(links)
                 for link in links:
@@ -315,6 +317,7 @@ class FetchWorker:
             doc = document_row(
                 url, status, ctype, content, r["body_bytes"], r["filename"],
                 include_html=keep_content,
+                downloads=r.get("downloads"),
             )
             if doc is not None:
                 doc_rows.append(doc)
@@ -336,7 +339,7 @@ class FetchWorker:
             }
         )
         slim_cols = list(_PAGE_SLIM_COLS) + (
-            ["content", "body_bytes"] if keep_content else []
+            ["content", "body_bytes", "downloads"] if keep_content else []
         )
         pages = pa.table(
             {c: pa.array(pcol[c], PAGES_SCHEMA.field(c).type) for c in slim_cols}
@@ -987,7 +990,9 @@ def _fetch_wave(
             .map_batches(parse_links_batch, batch_format="pyarrow")
             .materialize()
         )
-        slim_cols = list(_PAGE_SLIM_COLS) + (["content", "body_bytes"] if keep else [])
+        slim_cols = list(_PAGE_SLIM_COLS) + (
+            ["content", "body_bytes", "downloads"] if keep else []
+        )
         dirs = {t: store.epoch_dir(t, epoch) for t in ("pages", "images", "documents")}
         for d in dirs.values():  # idempotent re-run of a crashed epoch
             if os.path.exists(d):

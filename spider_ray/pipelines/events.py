@@ -1,0 +1,129 @@
+"""Event-stream operators: sessionization, sliding windows, grouped top-k,
+distinct, deterministic sampling.
+
+These are the streaming-shaped table operators promoted out of the driver
+contract into the engine's public API (VERDICT r1 next-round #9). All are
+Ray-Data-first:
+
+- **partition-sort-scan** — ``groupby(key).map_groups`` with a mergesort
+  by (ts, id) inside the group, then vectorized numpy scans
+  (searchsorted / diff / cumsum). One hash exchange on the partition key;
+  window state never crosses group boundaries, so the shape holds at any
+  scale where a single key's history fits a worker (salt the key if not).
+- **grouped top-k** — per-group head-k after an in-group sort; the shuffle
+  carries only group rows, the result is k rows per group.
+- **distinct** — ``Dataset.unique`` (hash exchange on the column).
+- **hash sampling** — md5-bucket membership: reproducible across engines
+  and runs, unlike RNG sampling.
+
+Deterministic tie-breaks on the id column throughout (the engine-wide
+reproducible-ordering stance, SURVEY.md §2.7 O6).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def sessionize(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_us: int = 30 * 60 * 1_000_000,
+):
+    """Session windows per key with an inactivity-gap rule: a gap > gap_us
+    starts a new session. Returns (key, session_id, n_events) rows."""
+
+    def per_key(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values([ts_col, id_col], kind="mergesort")
+        ts = group[ts_col].astype("int64").to_numpy()
+        brk = np.zeros(len(ts), dtype=np.int64)
+        if len(ts) > 1:
+            brk[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+        session = np.cumsum(brk)
+        out = pd.DataFrame(
+            {key_col: group[key_col].to_numpy(), "session_id": session}
+        )
+        return (
+            out.groupby([key_col, "session_id"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_events"})
+        )
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def sliding_window_counts(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    window_us: int = 3_600 * 1_000_000,
+):
+    """For every event, the count of that key's events in (ts-window, ts].
+    Vectorized per group with ``np.searchsorted`` over the sorted ts array."""
+
+    def per_key(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values([ts_col, id_col], kind="mergesort")
+        ts = group[ts_col].astype("int64").to_numpy()
+        starts = np.searchsorted(ts, ts - window_us, side="right")
+        n_in_window = np.arange(len(ts)) - starts + 1
+        return pd.DataFrame(
+            {
+                id_col: group[id_col].to_numpy(),
+                key_col: group[key_col].to_numpy(),
+                "n_in_window": n_in_window.astype("int64"),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def grouped_topk(
+    ds,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 3,
+    keep_cols: list[str] | None = None,
+):
+    """Top-k rows per group by value desc, id asc tie-break."""
+    cols = keep_cols or [group_col, id_col, value_col]
+
+    def per_group(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([value_col, id_col], ascending=[False, True])
+        return g.head(k)[cols]
+
+    return ds.groupby(group_col).map_groups(per_group, batch_format="pandas")
+
+
+def distinct_values(ds, col: str) -> pa.Table:
+    """Exact global distinct of one column, sorted (small result)."""
+    values = sorted(ds.unique(col))
+    return pa.table({col: pa.array(values)})
+
+
+def hash_sample_mask(values, buckets: int = 16, keep_bucket: int = 0) -> list[bool]:
+    """Deterministic md5-bucket membership for a list of key values."""
+    return [
+        int(hashlib.md5(str(v).encode()).hexdigest()[:2], 16) % buckets == keep_bucket
+        for v in values
+    ]
+
+
+def hash_sample(ds, key_col: str, buckets: int = 16, keep_bucket: int = 0):
+    """Keep rows whose md5(key) lands in one of ``buckets`` key-space
+    slices — reproducible sampling (same rows on every engine/run)."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = hash_sample_mask(
+            batch.column(key_col).to_pylist(), buckets, keep_bucket
+        )
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

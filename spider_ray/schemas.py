@@ -69,6 +69,9 @@ PAGES_SCHEMA = pa.schema(
         pa.field("content", pa.large_string()),
         pa.field("body_bytes", pa.large_binary()),
         pa.field("filename", pa.string()),
+        # browser-triggered downloads (types.ts:92-96) — ALL of them, deduped
+        # by (url, filename, contentType) (browser-runner.ts:204-222)
+        pa.field("downloads", pa.list_(DOWNLOAD_TYPE)),
         pa.field("links", pa.list_(LINK_TYPE)),
         # crawl4ai-only markdown rendering (types.ts:86-90)
         pa.field("markdown", pa.large_string()),

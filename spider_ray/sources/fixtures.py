@@ -54,6 +54,10 @@ class MockWebConfig:
     # via the expansion interaction (MockWeb.expand), mirroring the
     # reference's accordion fixtures (local-server.ts:129-155)
     with_expandables: bool = False
+    # pages with i % 9 == 4 trigger browser downloads (one duplicated) —
+    # mirrors the crawlee download-capture fixture (index.spec.ts:156-174);
+    # only browser-class adapters surface them
+    with_downloads: bool = False
 
 
 @dataclass
@@ -65,6 +69,30 @@ class MockResponse:
     content: str | None = None  # HTML text
     body_bytes: bytes | None = None  # binary payload (images/pdf)
     filename: str | None = None
+    # RAW browser-download events (duplicates included — the browser runner
+    # dedups them, browser-runner.ts:204-222); None for non-browser fetches
+    downloads: list[dict] | None = None
+
+
+def downloads_for(i: int, cfg: MockWebConfig) -> list[dict] | None:
+    """Raw download events of page i (with a deliberate duplicate)."""
+    if not cfg.with_downloads or i % 9 != 4:
+        return None
+    pdf = {
+        "url": f"http://h{i % cfg.n_hosts}.test/files/doc{i}.pdf",
+        "filename": f"doc{i}.pdf",
+        "content_type": "application/pdf",
+        "content": b"%PDF-1.4 fixture download " + str(i).encode(),
+        "error": None,
+    }
+    txt = {
+        "url": f"http://h{i % cfg.n_hosts}.test/files/notes{i}.txt",
+        "filename": f"notes{i}.txt",
+        "content_type": "text/plain",
+        "content": f"notes for {i}".encode(),
+        "error": None,
+    }
+    return [pdf, dict(pdf), txt]  # duplicate pdf event → must dedup to 2
 
 
 def page_url(i: int, cfg: MockWebConfig) -> str:
@@ -189,7 +217,10 @@ class MockWeb:
                     return MockResponse(url, url, 404, "text/html", content="gone")
                 if i % 29 == 13 and attempts == 0:  # deterministic flake
                     return MockResponse(url, url, 503, "text/html", content="busy")
-            return MockResponse(url, url, 200, "text/html", content=page_html(i, cfg))
+            return MockResponse(
+                url, url, 200, "text/html", content=page_html(i, cfg),
+                downloads=downloads_for(i, cfg),
+            )
 
         if path.startswith("/img/"):
             stem = path[5:]

@@ -87,12 +87,22 @@ class FetchStage:
         max_redirects: int = 5,
         simulated_latency_us: int = 0,
         custom_selectors: list[str] | None = None,
+        resolver=None,
+        cache_dir: str | None = None,
+        cache_ttl_ms: int | None = None,
+        cache_clock=None,
+        headers: dict | None = None,
     ):
         if adapter not in self.ADAPTERS:
             # mirror scraper-factory.ts:52-59: reserved names typed but
             # rejected at runtime
             raise ValueError(f"ValidationError: unsupported adapter {adapter!r}")
-        self.web = MockWeb(web_config or MockWebConfig())
+        # the network seam: anything with .resolve(url, attempts) →
+        # MockResponse-shaped record. Default = hermetic MockWeb; pass
+        # stages.http_fetch.HttpResolver for real HTTP (simple.ts parity).
+        self.web = resolver if resolver is not None else MockWeb(
+            web_config or MockWebConfig()
+        )
         self.adapter = adapter
         self.cache: OrderedDict[str, dict] = OrderedDict()
         self.cache_size = cache_size
@@ -101,6 +111,18 @@ class FetchStage:
         self.simulated_latency_us = simulated_latency_us
         # tree-scraper extension point; varies the cache key (tree.ts:110)
         self.custom_selectors = custom_selectors or []
+        # request headers vary the cache key (index.spec.ts:120-146
+        # "cache varies by headers") and are honored by HttpResolver
+        self.headers = headers or None
+        # optional persistent TTL'd backend shared across actors/processes
+        # (cache.ts:20-45; survives re-runs — README.md:554-557 resume)
+        if cache_dir:
+            from ..state.cache import FileCache
+
+            self.pcache = FileCache(cache_dir, clock=cache_clock)
+        else:
+            self.pcache = None
+        self.cache_ttl_ms = cache_ttl_ms
         self.fetches = 0
         self.cache_hits = 0
 
@@ -111,6 +133,9 @@ class FetchStage:
         Revealed fragments are appended to the content so the ordinary link
         parse sees them; first-wins dedup keeps visible links ahead of
         revealed duplicates (crawlee.ts:154-163 merge semantics)."""
+        if not hasattr(self.web, "expand"):
+            # real-HTTP resolver: no browser runtime → no expansion
+            return content, 0
         max_rounds = 3 if self.adapter == "crawlee" else 10
         empty_stop = 1 if self.adapter == "crawlee" else 2
         clicked: set[int] = set()  # ST4 clicked-set analogue
@@ -140,17 +165,29 @@ class FetchStage:
             )
         key = None
         if self.cache_enabled:  # key derivation skipped entirely when off
-            key = create_cache_key(
-                self.adapter,
-                url,
-                [{"adapter": self.adapter, "customSelectors": self.custom_selectors or None}],
-            )
+            parts = {
+                "adapter": self.adapter,
+                "customSelectors": self.custom_selectors or None,
+            }
+            if self.headers:  # absent ≈ reference's dropped-undefined
+                parts["headers"] = self.headers
+            key = create_cache_key(self.adapter, url, [parts])
             if key in self.cache:
                 self.cache.move_to_end(key)
                 self.cache_hits += 1
                 cached = dict(self.cache[key])
                 cached["cache_hit"] = True
                 return cached
+            if self.pcache is not None:  # persistent probe after LRU miss
+                hit = self.pcache.get(key)
+                if hit is not None:
+                    self.cache[key] = hit
+                    if len(self.cache) > self.cache_size:
+                        self.cache.popitem(last=False)
+                    self.cache_hits += 1
+                    row = dict(hit)
+                    row["cache_hit"] = True
+                    return row
         if self.simulated_latency_us:
             time.sleep(self.simulated_latency_us / 1e6)
         resp = self.web.resolve(url, attempts=attempts)
@@ -169,7 +206,10 @@ class FetchStage:
             elif self.adapter in ("crawlee", "tree"):
                 content, interactions = self._expand(url, content)
             elif self.adapter == "crawl4ai":
-                svc = self.web.crawl4ai(url)
+                svc = (
+                    self.web.crawl4ai(url)
+                    if hasattr(self.web, "crawl4ai") else None
+                )
                 if svc is not None:
                     content = svc["cleaned_html"] or content
                     markdown = svc["markdown"]
@@ -199,6 +239,16 @@ class FetchStage:
         error = None
         if resp.status >= 400:
             error = f"NetworkError: HTTP {resp.status}"
+        # downloads only surface through browser-class adapters
+        # (types.ts:92-96); raw events deduped by (url, filename,
+        # contentType) first-wins (browser-runner.ts:204-222)
+        downloads = None
+        if self.adapter in ("crawlee", "tree"):
+            raw_downloads = getattr(resp, "downloads", None)
+            if raw_downloads:
+                from ..functions.downloads import dedupe_downloads
+
+                downloads = dedupe_downloads(raw_downloads)
         duration_ms = (time.perf_counter() - start) * 1000.0
         row = self._row(
             url,
@@ -214,17 +264,21 @@ class FetchStage:
             markdown=markdown,
             links=links,
             interactions=interactions,
+            downloads=downloads,
         )
         if self.cache_enabled and resp.status < 400:
             self.cache[key] = row
             if len(self.cache) > self.cache_size:
                 self.cache.popitem(last=False)
+            if self.pcache is not None:
+                self.pcache.set(key, row, self.cache_ttl_ms)
         return row
 
     @staticmethod
     def _row(
         url, final_url, status, content_type, content, body_bytes, filename,
         duration_ms, cache_hit, error, markdown=None, links=None, interactions=0,
+        downloads=None,
     ) -> dict:
         return {
             "url": url,
@@ -240,6 +294,7 @@ class FetchStage:
             "markdown": markdown,
             "links": links,
             "interactions": interactions,
+            "downloads": downloads,
         }
 
     # -- batch entry ------------------------------------------------------
@@ -274,6 +329,10 @@ class FetchStage:
             "content": pa.array([r["content"] for r in rows], pa.large_string()),
             "body_bytes": pa.array([r["body_bytes"] for r in rows], pa.large_binary()),
             "filename": pa.array([r["filename"] for r in rows], pa.string()),
+            "downloads": pa.array(
+                [r.get("downloads") for r in rows],
+                PAGES_SCHEMA.field("downloads").type,
+            ),
             "links": pa.array(
                 [r["links"] for r in rows], PAGES_SCHEMA.field("links").type
             ),

@@ -128,6 +128,7 @@ def document_row(
     body_bytes: bytes | None,
     filename: str | None,
     include_html: bool = True,
+    downloads: list | None = None,
 ) -> dict | None:
     """Row-level 3-way scrapeDocument branch (scrapeDocument.ts:249-320);
     None for error rows. Single source of truth for both the batch
@@ -135,6 +136,21 @@ def document_row(
     if status >= 400 or status == 0:
         return None
     content = content or ""
+    if downloads:
+        # browser downloads present → direct-download record from the FIRST
+        # download (scrapeDocument.ts:258-281: downloads[0] wins)
+        d0 = downloads[0]
+        ctype = d0.get("content_type") or infer_content_type(d0.get("filename"))
+        body = d0.get("content")
+        return {
+            "url": url, "mime_type": ctype, "text": "", "html": None,
+            "is_download": True, "file_content": body,
+            "filename": d0.get("filename"), "content_type": ctype,
+            "title": None, "description": None,
+            "is_pdf": ctype == "application/pdf"
+            or (body is not None and sniff_format(body) == "pdf"),
+            "complete": True, "strategy": "direct-download",
+        }
     if body_bytes is not None:
         ctype = content_type or infer_content_type(filename)
         return {
@@ -197,12 +213,18 @@ def to_documents_batch(batch: pa.Table, include_html: bool = True) -> pa.Table:
     cols = {name: batch.column(name).to_pylist() for name in (
         "url", "status", "content_type", "content", "body_bytes", "filename",
     )}
+    dls = (
+        batch.column("downloads").to_pylist()
+        if "downloads" in batch.column_names
+        else [None] * batch.num_rows
+    )
     rows = []
     for i in range(batch.num_rows):
         row = document_row(
             cols["url"][i], cols["status"][i], cols["content_type"][i],
             cols["content"][i], cols["body_bytes"][i], cols["filename"][i],
             include_html=include_html,
+            downloads=dls[i],
         )
         if row is not None:
             rows.append(row)

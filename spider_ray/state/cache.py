@@ -1,0 +1,123 @@
+"""Persistent response cache: content-addressed, TTL'd, file-backed.
+
+Reproduces the reference CacheManager semantics (src/shared/cache.ts:6-46):
+``get(key)`` returns the stored value only while its TTL has not elapsed;
+``set(key, value, ttl_ms)`` stores with an expiry stamp; the backend is
+lazily initialized (cache.ts:25-45 lazy file|s3 init). Keys are the
+``createCacheKey`` sha256 strings (functions.cachekey), so the on-disk
+layout is content-addressed: ``root/<namespace>/<2-char shard>/<digest>``.
+
+Differences from the reference, by design:
+- values are serialized as a **fixed JSON envelope with base64 binary
+  fields** — never pickle, so a tampered cache dir cannot execute code
+  (same stance as the seen-set snapshots);
+- an injectable ``clock`` (epoch ms callable) makes TTL expiry
+  deterministic in tests (the reference uses Date.now);
+- writes are atomic (temp file + rename), so concurrent fetch actors on
+  one node — or across nodes on a shared filesystem — can share a cache
+  without locking: last-writer-wins on identical content-addressed keys.
+
+The reference's "cached fetch ~5 ms, re-runs skip fetched work" resume
+semantics (README.md:554-557) carries over: the cache survives the
+process, so a re-run's fetch stage probes it before any network work.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import tempfile
+import time
+
+
+def _default_clock() -> int:
+    return int(time.time() * 1000)
+
+
+_B64_MARK = "__b64__"
+
+
+def _encode(value):
+    """JSON-safe deep encoding; bytes → {_B64_MARK: <base64>}."""
+    if isinstance(value, (bytes, bytearray, memoryview)):
+        return {_B64_MARK: base64.b64encode(bytes(value)).decode("ascii")}
+    if isinstance(value, dict):
+        return {k: _encode(v) for k, v in value.items()}
+    if isinstance(value, (list, tuple)):
+        return [_encode(v) for v in value]
+    return value
+
+
+def _decode(value):
+    if isinstance(value, dict):
+        if set(value.keys()) == {_B64_MARK}:
+            return base64.b64decode(value[_B64_MARK])
+        return {k: _decode(v) for k, v in value.items()}
+    if isinstance(value, list):
+        return [_decode(v) for v in value]
+    return value
+
+
+class FileCache:
+    """TTL'd content-addressed file cache (cache.ts:6-46 semantics)."""
+
+    def __init__(self, root: str, clock=None):
+        self.root = root
+        self.clock = clock or _default_clock
+        self._initialized = False  # lazy backend init (cache.ts:25-45)
+
+    def _ensure(self) -> None:
+        if not self._initialized:
+            os.makedirs(self.root, exist_ok=True)
+            self._initialized = True
+
+    def _path(self, key: str) -> str:
+        # key = "<namespace>:<sha256hex>"; shard by the first 2 digest chars
+        namespace, _, digest = key.partition(":")
+        digest = digest or "nokey"
+        return os.path.join(self.root, namespace or "default", digest[:2], digest)
+
+    def get(self, key: str):
+        """Value if present and unexpired, else None (expired entries are
+        deleted on read — cache.ts get() TTL check)."""
+        path = self._path(key)
+        try:
+            with open(path, encoding="utf-8") as f:
+                envelope = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None
+        expires = envelope.get("expires_at_ms")
+        if expires is not None and self.clock() >= expires:
+            try:
+                os.unlink(path)
+            except OSError:  # pragma: no cover - concurrent eviction
+                pass
+            return None
+        return _decode(envelope["value"])
+
+    def set(self, key: str, value, ttl_ms: int | None = None) -> None:
+        """Store with TTL in ms (None → no expiry); atomic write."""
+        self._ensure()
+        path = self._path(key)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        envelope = {
+            "stored_at_ms": self.clock(),
+            "expires_at_ms": (self.clock() + ttl_ms) if ttl_ms is not None else None,
+            "value": _encode(value),
+        }
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w", encoding="utf-8") as f:
+                json.dump(envelope, f)
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):  # pragma: no cover - replace failed
+                os.unlink(tmp)
+
+    def clear(self) -> None:
+        import shutil
+
+        if os.path.isdir(self.root):
+            shutil.rmtree(self.root)
+        self._initialized = False

@@ -32,10 +32,7 @@ def test_minhash_lsh_finds_exact_dupes(docs_ds):
     from spider_ray.pipelines.dedup import minhash_lsh_pairs
 
     raw = pq.read_table(f"{SF}/documents.parquet").to_pandas()
-    texts = dict(zip(raw["doc_id"], raw["text"]))
-    pairs = minhash_lsh_pairs(
-        docs_ds, texts_by_id=texts, verify_threshold=0.99
-    ).to_pandas()
+    pairs = minhash_lsh_pairs(docs_ds, verify_threshold=0.99).to_pandas()
     # every exact-duplicate text pair must be found (jaccard 1.0)
     dup_groups = raw.groupby("text")["doc_id"].apply(list)
     expected_pairs = set()
@@ -82,6 +79,84 @@ def test_embedding_neardup_recovers_self_similarity(emb_ds, ray_session):
     assert ((pairs["id_a"] == 0) & (pairs["id_b"] == 999999)).any()
 
 
+def test_minhash_hot_bucket_is_linear(ray_session):
+    """1000 identical docs → one maximally hot LSH bucket in every band.
+    The capped pair generator must emit the O(n) chain (cluster stays
+    connected), not C(1000,2)≈500k pairs."""
+    import pandas as pd
+
+    import pyarrow as pa
+
+    from spider_ray.pipelines.dedup import minhash_lsh_pairs
+
+    n = 1000
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(n)), "text": ["same boilerplate text"] * n})
+    )
+    pairs = minhash_lsh_pairs(ds, verify_threshold=0.99).to_pandas()
+    # chain connectivity: union-find over pairs must yield ONE cluster
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        parent[find(int(a))] = find(int(b))
+    assert len({find(i) for i in range(n)}) == 1
+    assert len(pairs) <= 4 * n, f"hot bucket exploded: {len(pairs)} pairs"
+    assert (pairs["jaccard"] == 1.0).all()
+
+
+def test_simhash_hot_bucket_is_linear(ray_session):
+    import pyarrow as pa
+
+    from spider_ray.pipelines.dedup import simhash_pairs
+
+    n = 500
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(n)), "text": ["same boilerplate text"] * n})
+    )
+    pairs = simhash_pairs(ds).to_pandas()
+    assert len(pairs) <= 4 * n
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    # the id-sorted chain is present → cluster connected
+    assert all((i, i + 1) in got for i in range(n - 1))
+
+
+def test_embedding_neardup_planted_and_hot_bucket(ray_session):
+    """Planted exact copies are always recovered; a pathological
+    all-identical input stays O(n) via the chain fallback."""
+    import pandas as pd
+
+    from spider_ray.pipelines.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((300, 16))
+    ids = list(range(300)) + [10_000 + i for i in range(0, 300, 25)]
+    vecs = [v for v in base] + [base[i] for i in range(0, 300, 25)]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": ids, "embedding": [v.tolist() for v in vecs]})
+    )
+    pairs = embedding_neardup_pairs(ds, threshold=0.999).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    for i in range(0, 300, 25):
+        assert (i, 10_000 + i) in got, f"planted dup {i} missing"
+    # hot bucket: 2000 identical vectors
+    n = 2000
+    same = pd.DataFrame(
+        {"vec_id": list(range(n)), "embedding": [[1.0, 2.0, 3.0, 4.0]] * n}
+    )
+    hot = embedding_neardup_pairs(
+        ray.data.from_pandas(same), threshold=0.99, max_bucket=256
+    ).to_pandas()
+    assert len(hot) <= 4 * n, f"identical-vector bucket exploded: {len(hot)}"
+    got = set(zip(hot["id_a"], hot["id_b"]))
+    assert all((i, i + 1) in got for i in range(n - 1))  # chain connectivity
+
+
 def test_brute_force_topk_matches_numpy(emb_ds):
     from spider_ray.pipelines.ann import brute_force_topk
 
@@ -121,13 +196,15 @@ def test_phash_band_pairs_find_reencodes(ray_session):
     from spider_ray.pipelines.dedup import hash_band_pairs
     from spider_ray.sources.fixtures import MockWebConfig, image_pixels
 
+    from spider_ray.pipelines.dedup import _to_i64
+
     cfg = MockWebConfig(n_pages=100)
     rows = []
     for i in range(0, 50, 5):
         pixels = image_pixels(i, cfg)
         for fmt in ("png", "jpeg"):
             ph = phash64(decode_image(encode_image(pixels, fmt)))
-            rows.append({"image_id": f"img-{i}-{fmt}", "phash": int(np.int64(np.uint64(ph)))})
+            rows.append({"image_id": f"img-{i}-{fmt}", "phash": _to_i64(ph)})
     ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
     pairs = hash_band_pairs(ds, "phash", "image_id", max_hamming=3).to_pandas()
     got = set(zip(pairs["id_a"], pairs["id_b"]))
