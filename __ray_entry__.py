@@ -1059,6 +1059,21 @@ def _q_ngram_jaccard(sf_dir: str) -> pa.Table:
     return out.select(["id_a", "id_b"])
 
 
+def _q_neardup_dedup(sf_dir: str) -> pa.Table:
+    """Full near-dup dedup loop: MinHash-LSH pairs → union-find connected
+    components → drop non-canonical members (pipelines.cluster). Returns
+    the kept doc ids (rows-only check: near-dup clusters at jaccard 0.8
+    are not SQL-expressible)."""
+    _ctx()
+    from spider_ray.pipelines.cluster import drop_non_canonical
+    from spider_ray.pipelines.dedup import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, verify_threshold=0.8)
+    kept = drop_non_canonical(_doc_ids_ds(sf_dir), pairs).to_pandas()
+    return pa.table({"doc_id": pa.array(sorted(kept["doc_id"]), pa.int64())})
+
+
 def _q_phash_neardup(sf_dir: str) -> pa.Table:
     """Multimodal near-dup: perceptual-hash band blocking over a synthetic
     images table that includes deliberate re-encodes (png↔fake-jpeg of the
@@ -1493,6 +1508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "neardup_dedup": _q_neardup_dedup,
         "phash_neardup": _q_phash_neardup,
         "embedding_neardup": _q_embedding_neardup,
         "ann_topk": _q_ann_topk,

@@ -429,6 +429,21 @@ class CrawlResult:
 # Wave selection (deterministic politeness cap + priority cut)
 # ---------------------------------------------------------------------------
 
+def _fix_composite_ties(order: np.ndarray, composite: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Resolve equal-composite runs in a composite-sorted index array by the
+    full 64-bit hash (equal composite ⇒ equal priority, so hash is the
+    correct total-order tie-break)."""
+    comp_sorted = composite[order]
+    tie_pos = np.nonzero(comp_sorted[1:] == comp_sorted[:-1])[0]
+    if tie_pos.size:
+        runs = np.split(tie_pos, np.nonzero(np.diff(tie_pos) > 1)[0] + 1)
+        for run in runs:
+            s, e = run[0], run[-1] + 2
+            idx = order[s:e]
+            order[s:e] = idx[np.argsort(hashes[idx], kind="stable")]
+    return order
+
+
 def wave_select_arrow(
     frontier: pa.Table, wave_k: int, max_per_host: int
 ) -> tuple[pa.Table, pa.Table]:
@@ -444,23 +459,40 @@ def wave_select_arrow(
     # resolved exactly on the full hash below
     scaled = prio * 1000.0
     prio_int = np.round(scaled)
+    composite = None
+    n = frontier.num_rows
     if np.array_equal(scaled, prio_int) and (prio_int < 1000).all() and (prio_int >= 0).all():
         composite = (
             ((np.uint64(999) - prio_int.astype(np.uint64)) << np.uint64(54))
             | (hashes >> np.uint64(10))
         )
+        if max_per_host >= n and wave_k < n:
+            # pure priority cut of a big frontier: O(n) argpartition picks
+            # the wave members, only the WAVE gets sorted; the deferred set
+            # needs no order (it is re-cut next epoch). This is the serial
+            # driver work between waves — at 32 workers the full-frontier
+            # argsort was ~11 % of crawl wall (trace), the select is ~2 %.
+            kth = np.partition(composite, wave_k - 1)[wave_k - 1]
+            less_idx = np.nonzero(composite < kth)[0]
+            need = wave_k - len(less_idx)
+            # deterministic boundary: rows tied at the kth composite are
+            # admitted in full-hash order (equal composite ⇒ equal priority)
+            eq_idx = np.nonzero(composite == kth)[0]
+            take_eq = eq_idx[np.argsort(hashes[eq_idx], kind="stable")][:need]
+            members = np.concatenate([less_idx, take_eq])
+            worder = members[np.argsort(composite[members], kind="stable")]
+            worder = _fix_composite_ties(worder, composite, hashes)
+            deferred_mask = np.ones(n, dtype=bool)
+            deferred_mask[members] = False
+            return (
+                frontier.take(pa.array(worder)),
+                frontier.filter(pa.array(deferred_mask)),
+            )
         order = np.argsort(composite, kind="stable")
-        comp_sorted = composite[order]
-        tie_pos = np.nonzero(comp_sorted[1:] == comp_sorted[:-1])[0]
-        if tie_pos.size:  # exact tie-break on the full 64-bit hash
-            runs = np.split(tie_pos, np.nonzero(np.diff(tie_pos) > 1)[0] + 1)
-            for run in runs:
-                s, e = run[0], run[-1] + 2
-                idx = order[s:e]
-                order[s:e] = idx[np.argsort(hashes[idx], kind="stable")]
+        order = _fix_composite_ties(order, composite, hashes)
     else:
         order = np.lexsort((hashes, -prio))  # primary: -priority, tie: hash
-    if max_per_host >= frontier.num_rows:
+    if max_per_host >= n:
         # politeness cap can't bind → pure priority cut (skips the per-row
         # host accounting, which is O(frontier) python work)
         wave_idx = order[:wave_k]
@@ -579,6 +611,146 @@ def _dir_rows(directory: str) -> int:
     )
 
 
+class RunSet:
+    """LSM-style sorted-run frontier for the driver path.
+
+    Each run is a table sorted by the (priority desc, url_hash asc)
+    composite. A wave cut touches O(wave_k) TABLE rows: the global
+    threshold comes from an O(n) numpy partition over the cached composite
+    arrays (8 B/row), wave members are zero-copy PREFIX SLICES of each run
+    (plus an exact hash-ordered boundary-tie selection), and the deferred
+    set is the remaining slices — no per-epoch rebuild of the full
+    frontier table (the r1 path gathered every URL string every epoch,
+    which was the dominant serial driver cost between waves)."""
+
+    MAX_RUNS = 48  # compaction threshold (amortized O(n log n) rare)
+
+    def __init__(self):
+        self.runs: list[pa.Table] = []
+        self.comps: list[np.ndarray] = []
+        self.hashes: list[np.ndarray] = []
+
+    @staticmethod
+    def _composite(table: pa.Table):
+        """(composite, hashes) or None when priorities aren't k/1000."""
+        prio = table.column("priority").to_numpy()
+        hashes = table.column("url_hash").to_numpy().astype(np.uint64)
+        scaled = prio * 1000.0
+        prio_int = np.round(scaled)
+        if not (
+            np.array_equal(scaled, prio_int)
+            and (prio_int < 1000).all()
+            and (prio_int >= 0).all()
+        ):
+            return None
+        composite = (
+            ((np.uint64(999) - prio_int.astype(np.uint64)) << np.uint64(54))
+            | (hashes >> np.uint64(10))
+        )
+        return composite, hashes
+
+    def add_table(self, table: pa.Table) -> bool:
+        """Sort ``table`` into a new run; False if not composite-sortable
+        (caller falls back to the materialized path)."""
+        if table.num_rows == 0:
+            return True
+        ch = self._composite(table)
+        if ch is None:
+            return False
+        composite, hashes = ch
+        if self.runs:
+            table = table.select(self._schema.names).cast(self._schema)
+        else:
+            self._schema = table.schema
+        order = np.argsort(composite, kind="stable")
+        order = _fix_composite_ties(order, composite, hashes)
+        idx = pa.array(order)
+        self.runs.append(table.take(idx))
+        self.comps.append(composite[order])
+        self.hashes.append(hashes[order])
+        if len(self.runs) > self.MAX_RUNS:
+            self._compact()
+        return True
+
+    def _compact(self) -> None:
+        merged = pa.concat_tables(self.runs)
+        self.runs, self.comps, self.hashes = [], [], []
+        self.add_table(merged)
+
+    @property
+    def count(self) -> int:
+        return sum(t.num_rows for t in self.runs)
+
+    def to_table(self) -> pa.Table:
+        if not self.runs:
+            return _empty_frontier()
+        return pa.concat_tables(self.runs)
+
+    def cut(self, wave_k: int) -> tuple[pa.Table, "RunSet"]:
+        """Top-``wave_k`` rows in exact (priority desc, hash asc) order +
+        the leftover RunSet (zero-copy slices)."""
+        total = self.count
+        leftover = RunSet()
+        if total == 0:
+            return _empty_frontier(), leftover
+        if wave_k >= total:
+            wave_parts, order_keys_c, order_keys_h = [], [], []
+            for t, c, h in zip(self.runs, self.comps, self.hashes):
+                wave_parts.append(t)
+                order_keys_c.append(c)
+                order_keys_h.append(h)
+            wave = pa.concat_tables(wave_parts)
+            comp = np.concatenate(order_keys_c)
+            hsh = np.concatenate(order_keys_h)
+            order = np.argsort(comp, kind="stable")
+            order = _fix_composite_ties(order, comp, hsh)
+            return wave.take(pa.array(order)), leftover
+        all_comp = np.concatenate(self.comps)
+        kth = np.partition(all_comp, wave_k - 1)[wave_k - 1]
+        n_less = int((all_comp < kth).sum())
+        need = wave_k - n_less
+        # boundary ties: the composite==kth rows globally, by full hash; a
+        # run's selected tie rows are a prefix of its (hash-sorted) tie range
+        tie_hashes = []
+        tie_runs = []
+        cut_lo, cut_hi = [], []
+        for i, (c, h) in enumerate(zip(self.comps, self.hashes)):
+            lo = int(np.searchsorted(c, kth, side="left"))
+            hi = int(np.searchsorted(c, kth, side="right"))
+            cut_lo.append(lo)
+            cut_hi.append(hi)
+            if hi > lo:
+                tie_hashes.append(h[lo:hi])
+                tie_runs.append(i)
+        take_eq = {i: 0 for i in range(len(self.runs))}
+        if need > 0 and tie_hashes:
+            flat = np.concatenate(tie_hashes)
+            owner = np.concatenate(
+                [np.full(len(th), r, dtype=np.int64) for th, r in zip(tie_hashes, tie_runs)]
+            )
+            sel = np.argsort(flat, kind="stable")[:need]
+            for r, cnt in zip(*np.unique(owner[sel], return_counts=True)):
+                take_eq[int(r)] = int(cnt)
+        wave_parts, wc, wh = [], [], []
+        for i, (t, c, h) in enumerate(zip(self.runs, self.comps, self.hashes)):
+            end = cut_lo[i] + take_eq[i]
+            if end > 0:
+                wave_parts.append(t.slice(0, end))
+                wc.append(c[:end])
+                wh.append(h[:end])
+            if end < t.num_rows:
+                leftover._schema = self._schema
+                leftover.runs.append(t.slice(end))
+                leftover.comps.append(c[end:])
+                leftover.hashes.append(h[end:])
+        wave = pa.concat_tables(wave_parts)
+        comp = np.concatenate(wc)
+        hsh = np.concatenate(wh)
+        order = np.argsort(comp, kind="stable")
+        order = _fix_composite_ties(order, comp, hsh)
+        return wave.take(pa.array(order)), leftover
+
+
 @dataclass
 class Frontier:
     """The URL frontier — distributed end-to-end.
@@ -599,6 +771,8 @@ class Frontier:
     # dirs under frontier_work/ are transient (deleted once consumed);
     # dirs inside the checkpoint store (resume) are preserved
     owned_dirs: list[str] = field(default_factory=list)
+    # driver-path LSM frontier: sorted runs with zero-copy wave cuts
+    runset: "RunSet | None" = None
 
     @classmethod
     def from_table(cls, table: pa.Table) -> "Frontier":
@@ -617,6 +791,8 @@ class Frontier:
         parts = []
         if self.dirs:
             parts.append(ray.data.read_parquet(self.dirs))
+        if self.runset is not None and self.runset.count:
+            parts.append(ray.data.from_arrow(self.runset.to_table()))
         if self.table.num_rows:
             parts.append(ray.data.from_arrow(self.table))
         if not parts:
@@ -628,16 +804,22 @@ class Frontier:
 
     def to_table(self) -> pa.Table:
         """Collapse to one driver table — only legal when small (the caller
-        gates on ``count <= driver_wave_threshold``)."""
-        if not self.dirs:
-            return self.table
-        from ..sources.storage import read_table
+        gates on ``count <= driver_wave_threshold``) or at checkpoints."""
+        parts = []
+        if self.runset is not None:
+            rt = self.runset.to_table()
+            if rt.num_rows:
+                parts.append(rt)
+        if self.dirs:
+            from ..sources.storage import read_table
 
-        parts = [read_table(d) for d in self.dirs if _dir_rows(d)]
+            parts.extend(read_table(d) for d in self.dirs if _dir_rows(d))
         if self.table.num_rows:
             parts.append(self.table)
         if not parts:
             return _empty_frontier()
+        if len(parts) == 1 and not self.dirs and self.runset is None:
+            return self.table
         return pa.concat_tables(
             [t.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA) for t in parts]
         )
@@ -645,6 +827,19 @@ class Frontier:
     def with_extra(self, extra: pa.Table) -> "Frontier":
         """Next-epoch frontier: this frontier's deferred bulk + the small
         driver-side increment (fresh candidates, retries)."""
+        if self.runset is not None:
+            if extra.num_rows:
+                cast = extra.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA)
+                if not self.runset.add_table(cast):
+                    # non-quantized priorities → materialized fallback
+                    return Frontier.from_table(
+                        pa.concat_tables([self.runset.to_table(), cast])
+                    )
+            return Frontier(
+                table=_empty_frontier(),
+                count=self.runset.count,
+                runset=self.runset,
+            )
         parts = [t for t in (self.table, extra) if t.num_rows]
         merged = (
             pa.concat_tables(
@@ -785,11 +980,10 @@ def run_crawl(config: CrawlConfig, resume: bool = False) -> CrawlResult:
                 deferred = Frontier.from_table(_empty_frontier())
             frontier.cleanup()  # source partitions consumed by the write
         else:
-            wave, deferred_tbl = wave_select_arrow(
-                frontier.to_table(), config.wave_k, config.max_per_host_per_wave
+            wave, deferred = _wave_cut_driver(
+                frontier, config.wave_k, config.max_per_host_per_wave
             )
             frontier.cleanup()
-            deferred = Frontier.from_table(deferred_tbl)
         if config.respect_robots:
             hosts = wave.column("host").to_pylist()
             urls = wave.column("url").to_pylist()
@@ -928,6 +1122,30 @@ def run_crawl(config: CrawlConfig, resume: bool = False) -> CrawlResult:
     )
 
 
+def _wave_cut_driver(
+    frontier: Frontier, wave_k: int, max_per_host: int
+) -> tuple[pa.Table, Frontier]:
+    """Driver-path wave cut. When the politeness cap cannot bind, the
+    sorted-run (LSM) path cuts waves with zero-copy slices — O(wave_k)
+    table work per epoch instead of O(frontier). The cap-binding path (and
+    non-quantized priorities) falls back to the materialized numpy cut."""
+    if max_per_host >= frontier.count:
+        rs = frontier.runset
+        if rs is None:
+            rs = RunSet()
+            if not rs.add_table(frontier.to_table()):
+                rs = None
+        if rs is not None:
+            wave, leftover = rs.cut(wave_k)
+            return wave, Frontier(
+                table=_empty_frontier(), count=leftover.count, runset=leftover
+            )
+    wave, deferred_tbl = wave_select_arrow(
+        frontier.to_table(), wave_k, max_per_host
+    )
+    return wave, Frontier.from_table(deferred_tbl)
+
+
 def _checkpoint_frontier(store: EpochStore, epoch: int, frontier: Frontier) -> list:
     """Checkpoint the frontier. Small frontiers → one async table write.
     Distributed frontiers → hardlink the already-on-disk partition files
@@ -937,7 +1155,7 @@ def _checkpoint_frontier(store: EpochStore, epoch: int, frontier: Frontier) -> l
     the source dirs are transient and deleted when the next wave consumes
     them, so an async link task could race the cleanup."""
     if not frontier.dirs:
-        return [store.write_async("frontier", epoch, frontier.table)]
+        return [store.write_async("frontier", epoch, frontier.to_table())]
     store.link_frontier(epoch, frontier.table, frontier.dirs)
     return []
 
@@ -1040,23 +1258,41 @@ def _fetch_wave(
     for d in sink.values():  # idempotent re-run of a crashed epoch
         if os.path.exists(d):
             shutil.rmtree(d)
-    # exactly one chunk per worker per wave: fewer seen-shard probe RPCs
-    # (the shard actors serialize; probe count per wave = pool size).
-    # Rows are STRIDED across chunks (i::n) — cheap HTML rows and expensive
-    # image rows mix evenly, so no chunk becomes the wave's straggler.
-    n_chunks = max(1, min(len(fetch_pool), -(-wave.num_rows // 64)))
-    refs = [
-        fetch_pool[i % len(fetch_pool)].process_chunk.remote(
-            wave.take(pa.array(range(i, wave.num_rows, n_chunks))),
+    # Chunks are STRIDED across the wave (i::n) — cheap HTML rows and
+    # expensive image rows mix evenly. Several chunks per worker +
+    # work-stealing dispatch (feed a worker its next chunk the moment it
+    # finishes) shrinks the end-of-wave straggler tail from ~one full
+    # worker-chunk to ~one small chunk — the barrier idle time was ~29 % of
+    # the fetch phase with one chunk per worker (trace, 32 workers).
+    pool_n = len(fetch_pool)
+    # ~2 chunks per worker, ≥4k rows each: enough stealing to absorb a
+    # slow worker without multiplying the per-chunk seen-shard RPC rounds
+    n_chunks = max(1, min(2 * pool_n, max(pool_n, wave.num_rows // 4096)))
+    n_chunks = min(n_chunks, max(1, -(-wave.num_rows // 64)))
+
+    def _submit(worker_idx: int, chunk_idx: int):
+        return fetch_pool[worker_idx].process_chunk.remote(
+            wave.take(pa.array(range(chunk_idx, wave.num_rows, n_chunks))),
             keep,
             config.fetch_batch_size,
             sink,
-            i,
+            chunk_idx,
             config.n_seen_shards,
         )
-        for i in range(n_chunks)
-    ]
-    parts = ray.get(refs)
+
+    parts = []
+    inflight: dict = {}
+    next_chunk = 0
+    for w in range(min(pool_n, n_chunks)):
+        inflight[_submit(w, next_chunk)] = w
+        next_chunk += 1
+    while inflight:
+        done, _ = ray.wait(list(inflight.keys()), num_returns=1)
+        worker_idx = inflight.pop(done[0])
+        parts.append(ray.get(done[0]))
+        if next_chunk < n_chunks:
+            inflight[_submit(worker_idx, next_chunk)] = worker_idx
+            next_chunk += 1
     if not parts:
         return None
     lineage = pa.concat_tables([p["lineage"] for p in parts])

@@ -49,19 +49,44 @@ def bucketed_hash_join(
     side (explicit — the tagged union null-fills the other side's columns,
     so the in-bucket merge must select per side)."""
 
-    def tag(side: str, cols: list[str]):
-        def add(batch: pd.DataFrame) -> pd.DataFrame:
-            out = batch[[on, *cols]].copy()
-            out["__bucket"] = (
-                batch[on].to_numpy().astype(np.int64) % n_buckets
+    def _ensure_arrow(ds):
+        """(ds, arrow schema) — pandas-block datasets get a zero-work
+        pyarrow pass-through so the schema is a real pa.Schema."""
+        base = getattr(ds.schema(), "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return ds, base
+        ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
+        return ds, getattr(ds.schema(), "base_schema", None)
+
+    left_ds, l_schema = _ensure_arrow(left_ds)
+    right_ds, r_schema = _ensure_arrow(right_ds)
+    l_types = {c: l_schema.field(c).type for c in left_cols}
+    r_types = {c: r_schema.field(c).type for c in right_cols}
+    ordered = [on, *left_cols, *right_cols, "__bucket", "__side"]
+
+    def make_tag(side: str, own: list[str], other_types: dict):
+        # tagged union with EXPLICITLY typed null columns for the other
+        # side, so every block shares one Arrow schema — pandas NaN
+        # null-filling breaks for list-typed payload columns
+        def add(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            keys = (
+                batch.column(on).to_numpy(zero_copy_only=False).astype(np.int64)
+                % n_buckets
             ).astype(np.int32)
-            out["__side"] = side
-            return out
+            arrays = {on: batch.column(on)}
+            for c in own:
+                arrays[c] = batch.column(c)
+            for c, t in other_types.items():
+                arrays[c] = pa.nulls(n, t)
+            arrays["__bucket"] = pa.array(keys)
+            arrays["__side"] = pa.array([side] * n, pa.string())
+            return pa.table({k: arrays[k] for k in ordered})
 
         return add
 
-    left = left_ds.map_batches(tag("L", left_cols), batch_format="pandas")
-    right = right_ds.map_batches(tag("R", right_cols), batch_format="pandas")
+    left = left_ds.map_batches(make_tag("L", left_cols, r_types), batch_format="pyarrow")
+    right = right_ds.map_batches(make_tag("R", right_cols, l_types), batch_format="pyarrow")
     both = left.union(right)
 
     def join_bucket(group: pd.DataFrame) -> pd.DataFrame:

@@ -55,10 +55,10 @@ def lang_quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    import numpy as np
+    from .dedup import _to_i64
 
     texts = batch.column(text_col).to_pylist()
-    fps = [np.int64(np.uint64(fingerprint64(t))).item() for t in texts]
+    fps = [_to_i64(fingerprint64(t)) for t in texts]
     return batch.append_column("fingerprint", pa.array(fps, pa.int64()))
 
 

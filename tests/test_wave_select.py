@@ -40,6 +40,46 @@ def test_wave_paths_equivalent(ray_session, wave_k, cap):
     assert wave_a.num_rows + deferred_a.num_rows == frontier.num_rows
 
 
+@pytest.mark.parametrize("wave_k", [10, 100, 499, 500, 5000])
+def test_runset_cut_equals_materialized_cut(wave_k):
+    """The LSM sorted-run frontier must cut EXACTLY the same wave, in the
+    same order, as the materialized numpy cut — including across multiple
+    runs with duplicated priorities (boundary ties)."""
+    from spider_ray.pipelines.crawl import RunSet, wave_select_arrow
+
+    frontier = _frontier(n=500, hosts=5)
+    # split into 3 uneven runs to exercise the multi-run merge
+    rs = RunSet()
+    for lo, hi in ((0, 50), (50, 300), (300, 500)):
+        assert rs.add_table(frontier.slice(lo, hi - lo))
+    wave_rs, leftover = rs.cut(wave_k)
+    wave_np, deferred_np = wave_select_arrow(frontier, wave_k, 10**9)
+    assert wave_rs.select(["url", "priority"]).to_pydict() == \
+        wave_np.select(["url", "priority"]).to_pydict()
+    assert leftover.count == deferred_np.num_rows
+    # leftover rows are exactly the complement
+    got = set(wave_rs.column("url").to_pylist())
+    left_urls = set(leftover.to_table().column("url").to_pylist())
+    assert got | left_urls == set(frontier.column("url").to_pylist())
+    assert not (got & left_urls)
+
+
+def test_runset_iterated_cuts_match_full_order():
+    """Cut-k repeatedly (re-adding nothing) must walk the full frontier in
+    exact global order — the crawl's epoch sequence."""
+    from spider_ray.pipelines.crawl import RunSet, wave_select_arrow
+
+    frontier = _frontier(n=300, hosts=4, seed=9)
+    full_order, _ = wave_select_arrow(frontier, 10**9, 10**9)
+    rs = RunSet()
+    assert rs.add_table(frontier)
+    walked = []
+    while rs.count:
+        wave, rs = rs.cut(37)
+        walked.extend(wave.column("url").to_pylist())
+    assert walked == full_order.column("url").to_pylist()
+
+
 def test_wave_budget_and_cap_respected():
     frontier = _frontier(n=200, hosts=4)
     wave, deferred = wave_select_arrow(frontier, wave_k=30, max_per_host=5)
