@@ -1122,21 +1122,34 @@ def _q_image_decode_stats(sf_dir: str) -> pa.Table:
 # events / relational
 # ---------------------------------------------------------------------------
 
+def _cents_arrow(col) -> pa.Array:
+    """round(value*100) half-away-from-zero (SQL round), arrow-native."""
+    import pyarrow.compute as pc
+
+    return pc.cast(
+        pc.round(pc.multiply(col, 100.0), round_mode="half_towards_infinity"),
+        pa.int64(),
+        safe=False,
+    )
+
+
 def _q_events_hour_agg(sf_dir: str) -> pa.Table:
     _ctx()
+    import pyarrow.compute as pc
 
-    def prep(batch: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
+    def prep(batch: pa.Table) -> pa.Table:
+        # zero-copy arrow prep (ts[µs] → epoch hour, value → cents)
+        ts_us = batch.column("ts").cast(pa.int64())
+        return pa.table(
             {
-                "event_type": batch["event_type"],
-                "hour": (batch["ts"].astype("int64") // 10**6 // 3600).astype("int64"),
-                "cents": _half_up(batch["value"].to_numpy() * 100).astype("int64"),
+                "event_type": batch.column("event_type"),
+                "hour": pc.divide(pc.divide(ts_us, 1_000_000), 3600),
+                "cents": _cents_arrow(batch.column("value")),
             }
         )
-        return out
 
     ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"]).map_batches(
-        prep, batch_format="pandas"
+        prep, batch_format="pyarrow"
     )
     from spider_ray.pipelines.relational import preagg_sum
 
@@ -1253,16 +1266,16 @@ SELECT DISTINCT source FROM documents
 def _q_events_topk_users(sf_dir: str) -> pa.Table:
     _ctx()
 
-    def prep(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "user_id": batch["user_id"],
-                "cents": _half_up(batch["value"].to_numpy() * 100).astype("int64"),
+                "user_id": batch.column("user_id"),
+                "cents": _cents_arrow(batch.column("value")),
             }
         )
 
     ds = _read(sf_dir, "events", columns=["user_id", "value"]).map_batches(
-        prep, batch_format="pandas"
+        prep, batch_format="pyarrow"
     )
     from spider_ray.pipelines.relational import preagg_sum
 
@@ -1343,18 +1356,16 @@ def _q_broadcast_revenue(sf_dir: str) -> pa.Table:
     ).to_pandas()
     customers = customers.rename(columns={"c_custkey": "o_custkey"})
 
-    def prep(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "o_custkey": batch["o_custkey"],
-                "cents": _half_up(batch["o_totalprice"].to_numpy() * 100).astype(
-                    "int64"
-                ),
+                "o_custkey": batch.column("o_custkey"),
+                "cents": _cents_arrow(batch.column("o_totalprice")),
             }
         )
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
-        prep, batch_format="pandas"
+        prep, batch_format="pyarrow"
     )
     joined = broadcast_join(orders, customers, on="o_custkey", take_cols=["c_mktsegment"])
     out = preagg_sum(joined, ["c_mktsegment"], ["cents"], count_alias="n_orders").to_pandas()
@@ -1424,22 +1435,20 @@ def _q_lineitem_agg(sf_dir: str) -> pa.Table:
     _ctx()
     from spider_ray.pipelines.relational import preagg_sum
 
-    def prep(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "l_returnflag": batch["l_returnflag"],
-                "l_linestatus": batch["l_linestatus"],
-                "qty": batch["l_quantity"].astype("int64"),
-                "price_cents": _half_up(
-                    batch["l_extendedprice"].to_numpy() * 100
-                ).astype("int64"),
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty": batch.column("l_quantity").cast(pa.int64(), safe=False),
+                "price_cents": _cents_arrow(batch.column("l_extendedprice")),
             }
         )
 
     ds = _read(
         sf_dir, "lineitem",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
-    ).map_batches(prep, batch_format="pandas")
+    ).map_batches(prep, batch_format="pyarrow")
     out = preagg_sum(
         ds, ["l_returnflag", "l_linestatus"], ["qty", "price_cents"], count_alias="n"
     ).to_pandas()

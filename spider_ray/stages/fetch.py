@@ -42,30 +42,76 @@ _FIXED_EPOCH_MS = 1_700_000_000_000  # deterministic fetched_at (no wall clock)
 
 
 def process_html(html: str) -> str:
-    """DOM-normalization round-trip (dom.ts:36-49): re-serialize through the
-    stdlib parser — lowercased tags, entity-safe text. On failure, return
-    the raw HTML (reference warns + passes through)."""
+    """DOM-normalization round-trip (dom.ts:36-49): the reference parses
+    into a happy-dom document and re-serializes, which normalizes
+    structure. The stdlib rebuild reproduces the observable effects:
+    lowercased tag/attribute names, double-quoted attribute values with
+    entity-escaped specials, entity references decoded then re-encoded
+    canonically (``&amp;`` stays escaped, numeric refs become literal
+    characters), boolean attributes as ``name=""``, and the implied
+    ``<tbody>`` inserted around bare table rows. On failure, return the
+    raw HTML (reference warns + passes through)."""
+    from html import escape
     from html.parser import HTMLParser
 
     out: list[str] = []
 
     class _Ser(HTMLParser):
-        VOID = {"br", "hr", "img", "meta", "link", "input"}
+        _SECTIONS = {"tbody", "thead", "tfoot"}
+
+        def __init__(self):
+            # convert_charrefs=True decodes entity/char refs into data;
+            # escaping on output re-encodes canonically (the r1 serializer
+            # silently DROPPED entities — no entityref handlers)
+            super().__init__(convert_charrefs=True)
+            # per-<table>: [implied tbody open?, inside explicit section?]
+            self._tbody_stack: list[list[bool]] = []
+
+        def _close_implied_tbody(self):
+            if self._tbody_stack and self._tbody_stack[-1][0]:
+                out.append("</tbody>")
+                self._tbody_stack[-1][0] = False
 
         def handle_starttag(self, tag, attrs):
+            if tag == "table":
+                self._tbody_stack.append([False, False])
+            elif self._tbody_stack:
+                state = self._tbody_stack[-1]
+                if tag == "tr" and not state[0] and not state[1]:
+                    out.append("<tbody>")  # implied table section
+                    state[0] = True
+                elif tag in self._SECTIONS:
+                    self._close_implied_tbody()
+                    state[1] = True
             parts = "".join(
-                f' {k}' if v is None else f' {k}="{v}"' for k, v in attrs
+                f' {k}=""' if v is None else f' {k}="{escape(v, quote=True)}"'
+                for k, v in attrs
             )
             out.append(f"<{tag}{parts}>")
 
+        def handle_startendtag(self, tag, attrs):
+            self.handle_starttag(tag, attrs)
+
         def handle_endtag(self, tag):
+            if self._tbody_stack:
+                if tag == "table":
+                    self._close_implied_tbody()
+                    self._tbody_stack.pop()
+                elif tag in self._SECTIONS:
+                    self._tbody_stack[-1][1] = False
             out.append(f"</{tag}>")
 
         def handle_data(self, data):
-            out.append(data)
+            out.append(escape(data, quote=False))
+
+        def handle_comment(self, data):
+            out.append(f"<!--{data}-->")
+
+        def handle_decl(self, decl):
+            out.append(f"<!{decl}>")
 
     try:
-        parser = _Ser(convert_charrefs=False)
+        parser = _Ser()
         parser.feed(html)
         parser.close()
         return "".join(out)

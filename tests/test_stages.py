@@ -102,3 +102,31 @@ def test_to_documents_three_branches():
     assert det.num_rows == 1
     assert "wpdmdl=3" in det.column("url").to_pylist()[0]
     assert det.column("complete").to_pylist() == [False]
+
+
+def test_process_html_normalization_semantics():
+    """DOM round-trip normalization (dom.ts:36-49 happy-dom effects):
+    entities preserved canonically, attributes double-quoted + escaped,
+    boolean attrs as name=\"\", implied <tbody> around bare table rows
+    (section-aware), numeric charrefs become literal characters."""
+    from spider_ray.stages.fetch import process_html
+
+    assert process_html("<p>a &amp; b &#169; c</p>") == "<p>a &amp; b \xa9 c</p>"
+    assert process_html("<TD CLASS=x>1 < 2</TD>") == '<td class="x">1 &lt; 2</td>'
+    assert (
+        process_html("<table><tr><td>x</td></tr></table>")
+        == "<table><tbody><tr><td>x</td></tr></tbody></table>"
+    )
+    assert (
+        process_html(
+            "<table><thead><tr><td>h</td></tr></thead><tr><td>b</td></tr></table>"
+        )
+        == "<table><thead><tr><td>h</td></tr></thead>"
+        "<tbody><tr><td>b</td></tr></tbody></table>"
+    )
+    assert process_html('<input disabled><img src="a&b.png">') == (
+        '<input disabled=""><img src="a&amp;b.png">'
+    )
+    # idempotent: normalizing twice is a fixpoint
+    once = process_html("<table><tr><td>a &amp; b</td></tr></table>")
+    assert process_html(once) == once
