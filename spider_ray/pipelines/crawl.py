@@ -130,6 +130,12 @@ class CrawlConfig:
     # the seen-set already guarantees ≤1 fetch per URL, so per-URL cache-key
     # hashing (sha256 + canonical JSON) is pure overhead; retries refetch
     fetch_cache: bool = False
+    # persistent response-cache dir (state.cache.FileCache, TTL'd): a
+    # re-run over the same universe hits the cache instead of the network
+    # (the reference's resume-via-cache semantics, README.md:554-557);
+    # implies fetch_cache
+    fetch_cache_dir: str | None = None
+    fetch_cache_ttl_ms: int | None = None
     # frontier+seen checkpoint every K epochs: resume replays ≤K-1 epochs
     # deterministically/idempotently; K>1 amortizes the frontier serialize
     # (the frontier is the largest driver-held table at scale)
@@ -171,9 +177,15 @@ class FetchWorker:
         use_bloom: bool = False,
         max_depth: int | None = None,
         cache_enabled: bool = True,
+        cache_dir: str | None = None,
+        cache_ttl_ms: int | None = None,
     ):
         self.stage = FetchStage(
-            web_config=web_config, adapter=adapter, cache_enabled=cache_enabled
+            web_config=web_config,
+            adapter=adapter,
+            cache_enabled=cache_enabled or bool(cache_dir),
+            cache_dir=cache_dir,
+            cache_ttl_ms=cache_ttl_ms,
         )
         # worker-side dedup: each worker probes the shared seen shards for
         # its own chunk's candidates (north rule: bloom pre-filter lives in
@@ -911,6 +923,8 @@ def run_crawl(config: CrawlConfig, resume: bool = False) -> CrawlResult:
             config.use_bloom if worker_dedup else False,
             config.max_depth,
             config.fetch_cache,
+            config.fetch_cache_dir,
+            config.fetch_cache_ttl_ms,
         )
         for _ in range(pool_n)
     ]
@@ -1199,7 +1213,9 @@ def _fetch_wave(
                 fn_constructor_kwargs={
                     "web_config": config.web,
                     "adapter": config.adapter,
-                    "cache_enabled": config.fetch_cache,
+                    "cache_enabled": config.fetch_cache or bool(config.fetch_cache_dir),
+                    "cache_dir": config.fetch_cache_dir,
+                    "cache_ttl_ms": config.fetch_cache_ttl_ms,
                 },
                 batch_format="pyarrow",
                 batch_size=config.fetch_batch_size,

@@ -79,3 +79,33 @@ def test_expired_entry_refetches(tmp_path):
     out = a(pa.table({"url": [url]}))
     assert out.column("cache_hit").to_pylist() == [False]
     assert a.stats()["fetches"] == 2
+
+
+def test_crawl_rerun_hits_persistent_cache(ray_session, tmp_path):
+    """Reference resume-via-cache semantics (README.md:554-557): a second
+    crawl over the same universe with a shared persistent cache dir serves
+    fetches from the cache (fetches counted in lineage drop to ~0)."""
+    from spider_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from spider_ray.sources.fixtures import seed_urls
+    from spider_ray.sources.storage import EpochStore
+
+    web = MockWebConfig(n_pages=90, n_hosts=7, img_every=5)
+    cache_dir = str(tmp_path / "rcache")
+    base = dict(
+        seeds=seed_urls(web, every=30), web=web, wave_k=10_000,
+        exact_seen=True, fetch_concurrency=2, fetch_cache_dir=cache_dir,
+    )
+    run_crawl(CrawlConfig(out_dir=str(tmp_path / "c1"), **base))
+    run_crawl(CrawlConfig(out_dir=str(tmp_path / "c2"), **base))
+
+    def fetch_count(out):
+        lin = EpochStore(out).read_all("lineage").to_pandas()
+        return int(lin[lin["stage"] == "fetch"]["fetches"].sum())
+
+    first, second = fetch_count(str(tmp_path / "c1")), fetch_count(str(tmp_path / "c2"))
+    assert first > 0
+    assert second == 0, (first, second)  # every fetch served from cache
+    # results identical either way
+    a = EpochStore(str(tmp_path / "c1")).read_all("order").to_pydict()
+    b = EpochStore(str(tmp_path / "c2")).read_all("order").to_pydict()
+    assert a == b
