@@ -1103,6 +1103,51 @@ def _q_phash_neardup(sf_dir: str) -> pa.Table:
     return out.select(["id_a", "id_b", "hamming"])
 
 
+def _q_audio_features(sf_dir: str) -> pa.Table:
+    """Multimodal audio: REAL stdlib-WAV decode + numpy DSP features via
+    the AudioFeatures actor-pool stage (rows-only: binary decode is not
+    SQL-expressible)."""
+    _ctx()
+    from spider_ray.sources.fixtures import MockWebConfig, audio_wav_for
+    from spider_ray.stages.media import AudioFeatures
+
+    n = min(200, pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows)
+    cfg = MockWebConfig(n_pages=n)
+    rows = [
+        {"audio_id": f"a{i}", "audio_bytes": audio_wav_for(i, cfg)}
+        for i in range(0, n, 4)
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = ds.map_batches(
+        AudioFeatures, batch_size=16, concurrency=2, batch_format="pyarrow"
+    )
+    return _collect(out).select(
+        ["audio_id", "duration_s", "rms", "zcr", "spectral_centroid_hz"]
+    )
+
+
+def _q_video_frames(sf_dir: str) -> pa.Table:
+    """Multimodal video: strided frame sampling over the SRV1 container
+    (header-seek skips; real per-frame decode + phash) via the FrameSample
+    actor-pool stage (rows-only)."""
+    _ctx()
+    from spider_ray.sources.fixtures import MockWebConfig, video_for
+    from spider_ray.stages.media import FrameSample
+
+    n = min(120, pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows)
+    cfg = MockWebConfig(n_pages=n)
+    rows = [
+        {"video_id": f"v{i}", "video_bytes": video_for(i, cfg)}
+        for i in range(0, n, 8)
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = ds.map_batches(
+        FrameSample, fn_constructor_kwargs={"stride": 4},
+        batch_size=4, concurrency=2, batch_format="pyarrow",
+    )
+    return _collect(out).select(["video_id", "frame_index", "frame_phash"])
+
+
 def _q_image_decode_stats(sf_dir: str) -> pa.Table:
     _ctx()
     from spider_ray.sources.fixtures import MockWeb, MockWebConfig
@@ -1523,6 +1568,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "image_decode_stats": _q_image_decode_stats,
+        "audio_features": _q_audio_features,
+        "video_frames": _q_video_frames,
         # events / relational
         "events_hour_agg": _q_events_hour_agg,
         "events_sessionize": _q_events_sessionize,

@@ -128,6 +128,39 @@ def image_fmt(i: int) -> str:
     return "png" if i % 2 == 0 else "jpeg"
 
 
+def audio_wav_for(i: int, cfg: MockWebConfig, rate: int = 8000, seconds: float = 0.5) -> bytes:
+    """Deterministic 16-bit mono WAV: two seeded sine partials + noise."""
+    from ..functions.avcodec import encode_wav
+
+    rng = np.random.default_rng(np.uint64(cfg.seed) * np.uint64(7_368_787) + np.uint64(i))
+    n = int(rate * seconds)
+    t = np.arange(n) / rate
+    f1 = 100.0 + (i % 17) * 40.0
+    f2 = 300.0 + (i % 7) * 120.0
+    wave_ = (
+        0.5 * np.sin(2 * np.pi * f1 * t)
+        + 0.3 * np.sin(2 * np.pi * f2 * t)
+        + 0.02 * rng.standard_normal(n)
+    )
+    return encode_wav(wave_ * 0.8, rate)
+
+
+def video_for(i: int, cfg: MockWebConfig, n_frames: int = 12, fps: int = 10) -> bytes:
+    """Deterministic SRV1 video: per-frame pixels derived from the image
+    generator with a moving brightness band (frames differ but correlate)."""
+    from ..functions.avcodec import encode_video
+
+    frames = []
+    base = image_pixels(i, cfg).astype(np.int16)
+    s = cfg.img_size
+    for f in range(n_frames):
+        frame = base.copy()
+        band = (f * s) // n_frames
+        frame[band : band + 4, :, :] = np.minimum(255, frame[band : band + 4, :, :] + 80)
+        frames.append(frame.astype(np.uint8))
+    return encode_video(frames, fps=fps, fmt=image_fmt(i))
+
+
 def page_html(i: int, cfg: MockWebConfig) -> str:
     n = cfg.n_pages
     ids = out_link_ids(i, n)

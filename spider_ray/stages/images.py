@@ -125,16 +125,21 @@ class ImageEmbed:
 
 
 def frame_sample_stub(*_args, **_kwargs):
-    """Video frame sampling requires an AV decoder not in this container."""
+    """ffmpeg-container frame sampling is not possible here; the WORKING
+    path is stages.media.FrameSample over the SRV1 frame container (real
+    per-frame decode + phash, header-seek striding)."""
     raise NotImplementedError(
-        "video decode (frame sampling) requires pyav/ffmpeg — not available "
-        "in this container; the stage contract matches DecodeStats"
+        "mp4/webm decode requires pyav/ffmpeg — not in this container. "
+        "Use spider_ray.stages.media.FrameSample (SRV1 container) for the "
+        "real, tested frame-sampling stage behind the same seam."
     )
 
 
 def audio_features_stub(*_args, **_kwargs):
-    """Audio feature extraction requires an audio decoder not in container."""
+    """Compressed-audio decode is not possible here; the WORKING path is
+    stages.media.AudioFeatures over real stdlib-decoded PCM WAV."""
     raise NotImplementedError(
-        "audio decode requires soundfile/ffmpeg — not available in this "
-        "container; the stage contract matches ImageEmbed"
+        "mp3/ogg decode requires soundfile/ffmpeg — not in this container. "
+        "Use spider_ray.stages.media.AudioFeatures (16-bit mono WAV, real "
+        "stdlib decode) for the real, tested audio-features stage."
     )

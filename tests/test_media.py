@@ -1,0 +1,98 @@
+"""Multimodal stages (stages.media): REAL stdlib-WAV audio features and
+SRV1 frame sampling with real per-frame decode."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+from spider_ray.functions.avcodec import (
+    decode_wav,
+    encode_wav,
+    encode_video,
+    is_video,
+    is_wav,
+    iter_video_frames,
+    video_info,
+)
+from spider_ray.sources.fixtures import MockWebConfig, audio_wav_for, image_pixels, video_for
+from spider_ray.stages.media import AudioFeatures, FrameSample
+
+CFG = MockWebConfig(n_pages=100)
+
+
+def test_wav_roundtrip_exact():
+    rng = np.random.default_rng(3)
+    samples = (rng.standard_normal(4000) * 0.3).clip(-1, 1)
+    data = encode_wav(samples, rate=8000)
+    assert is_wav(data)
+    decoded, rate = decode_wav(data)
+    assert rate == 8000
+    # 16-bit quantization bound
+    assert np.abs(decoded - samples).max() < 1.0 / 32000
+
+
+def test_srv1_roundtrip_and_stride_skips_decode():
+    frames = [image_pixels(i, CFG) for i in range(6)]
+    data = encode_video(frames, fps=5, fmt="png")
+    assert is_video(data)
+    assert video_info(data) == (6, 5)
+    got = dict(iter_video_frames(data, stride=2))
+    assert sorted(got) == [0, 2, 4]
+    for i in (0, 2, 4):
+        assert np.array_equal(got[i], frames[i])  # png lossless exact
+
+
+def test_audio_features_stage(ray_session):
+    rows = [
+        {"audio_id": f"a{i}", "audio_bytes": audio_wav_for(i, CFG)} for i in range(8)
+    ] + [{"audio_id": "bad", "audio_bytes": b"not a wav"}]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = ds.map_batches(
+        AudioFeatures, batch_size=4, concurrency=2, batch_format="pyarrow"
+    ).to_pandas()
+    good = out[out["audio_id"] != "bad"]
+    assert (good["duration_s"] - 0.5).abs().max() < 1e-6
+    assert (good["rms"] > 0.1).all()
+    assert (good["zcr"] > 0).all()
+    # centroid tracks the seeded partials: audio 0 (100+300 Hz) sits lower
+    # than audio with high partials
+    assert good["spectral_centroid_hz"].between(50, 2500).all()
+    assert out[out["audio_id"] == "bad"]["rms"].isna().all()
+    # determinism: same input, same features
+    out2 = ds.map_batches(
+        AudioFeatures, batch_size=4, concurrency=2, batch_format="pyarrow"
+    ).to_pandas()
+    assert out.sort_values("audio_id").reset_index(drop=True).equals(
+        out2.sort_values("audio_id").reset_index(drop=True)
+    )
+
+
+def test_frame_sample_stage(ray_session):
+    rows = [
+        {"video_id": f"v{i}", "video_bytes": video_for(i, CFG)} for i in range(0, 6, 2)
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = ds.map_batches(
+        FrameSample,
+        fn_constructor_kwargs={"stride": 5},
+        batch_size=2, concurrency=2, batch_format="pyarrow",
+    ).to_pandas()
+    # 12 frames, stride 5 → indices 0, 5, 10 per video
+    for vid in ("v0", "v2", "v4"):
+        assert out[out["video_id"] == vid]["frame_index"].tolist() == [0, 5, 10]
+    assert (out["ts_s"] == out["frame_index"] / 10).all()
+    assert out["mean_luma"].between(0, 255).all()
+    # frames of one video are near-dups but not identical → phash differs
+    # somewhere across the sampled set
+    assert out.groupby("video_id")["frame_phash"].nunique().ge(1).all()
+
+
+def test_stubs_point_to_real_stages():
+    from spider_ray.stages.images import audio_features_stub, frame_sample_stub
+
+    with pytest.raises(NotImplementedError, match="media.FrameSample"):
+        frame_sample_stub()
+    with pytest.raises(NotImplementedError, match="media.AudioFeatures"):
+        audio_features_stub()
