@@ -1000,12 +1000,26 @@ ORDER BY id_a, id_b
 """
 
 
+def _query_vectors(sf_dir: str, k: int) -> np.ndarray:
+    """First k query vectors by vec_id — row-group-pruned read (never the
+    whole embeddings table; the driver needs only the tiny query side)."""
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    batch = next(pf.iter_batches(batch_size=max(64, 4 * k)))
+    take = batch.to_pandas()
+    take = take[take["vec_id"] < k].sort_values("vec_id")
+    if len(take) < k:  # file not vec_id-ordered → full fallback
+        full = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).to_pandas()
+        take = full[full["vec_id"] < k].sort_values("vec_id")
+    return np.stack(take["embedding"].to_numpy())
+
+
 def _q_ann_topk(sf_dir: str) -> pa.Table:
     _ctx()
     from spider_ray.pipelines.ann import brute_force_topk
 
-    raw = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
-    queries = np.stack(raw.sort_values("vec_id").head(3)["embedding"].to_numpy())
+    queries = _query_vectors(sf_dir, 3)
     ds = _read(sf_dir, "embeddings")
     out = brute_force_topk(ds, queries, k=10).to_pandas()
     return pa.table(
@@ -1037,8 +1051,7 @@ def _q_ivf_topk(sf_dir: str) -> pa.Table:
     _ctx()
     from spider_ray.pipelines.ann import ivf_topk
 
-    raw = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
-    queries = np.stack(raw.sort_values("vec_id").head(3)["embedding"].to_numpy())
+    queries = _query_vectors(sf_dir, 3)
     ds = _read(sf_dir, "embeddings")
     out = ivf_topk(ds, queries, k=10, n_cells=16, n_probe=8).to_pandas()
     return pa.table(

@@ -86,3 +86,90 @@ def test_filters_have_no_false_negatives(keys):
     cf = CuckooFilter(max(1024, len(arr) * 2))
     assert cf.add_many(arr) == len(arr)
     assert cf.contains_many(arr).all()
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet=string.ascii_letters, min_size=1, max_size=8),
+        st.one_of(
+            st.none(),
+            st.integers(min_value=-(2**31), max_value=2**31),
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+            st.text(max_size=40),
+            st.binary(max_size=60),
+            st.lists(st.text(max_size=8), max_size=4),
+        ),
+        max_size=6,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_filecache_roundtrip_any_row(tmp_path_factory, value):
+    """FileCache must round-trip every value shape a fetch row contains
+    (None / numbers / unicode text / raw bytes / lists) exactly."""
+    from spider_ray.state.cache import FileCache
+
+    root = str(tmp_path_factory.mktemp("fc"))
+    cache = FileCache(root, clock=lambda: 1000)
+    cache.set("ns:deadbeef", value, ttl_ms=10_000)
+    assert cache.get("ns:deadbeef") == value
+
+
+@given(
+    st.text(
+        alphabet=string.ascii_letters + string.digits + " <>&\"'=/", max_size=120
+    )
+)
+@settings(max_examples=120, deadline=None)
+def test_process_html_idempotent(html):
+    """Normalization is a fixpoint: process(process(x)) == process(x)
+    (the happy-dom round-trip has the same property)."""
+    from spider_ray.stages.fetch import process_html
+
+    once = process_html(html)
+    assert process_html(once) == once
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=999),  # priority millis
+            st.integers(min_value=0, max_value=2**63 - 1),  # url_hash
+        ),
+        min_size=1,
+        max_size=120,
+        unique_by=lambda t: t[1],
+    ),
+    st.integers(min_value=1, max_value=130),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=40, deadline=None)
+def test_runset_cut_property(rows, wave_k, n_runs):
+    """RunSet.cut == materialized wave_select_arrow for arbitrary
+    priorities/hashes, any run split, any wave_k."""
+    import numpy as np
+    import pyarrow as pa
+
+    from spider_ray.pipelines.crawl import RunSet, wave_select_arrow
+
+    n = len(rows)
+    frontier = pa.table(
+        {
+            "url": pa.array([f"http://h.test/{h}" for _, h in rows]),
+            "url_hash": pa.array([h for _, h in rows], pa.uint64()),
+            "host": pa.array(["h.test"] * n),
+            "priority": pa.array([p / 1000.0 for p, _ in rows], pa.float64()),
+            "depth": pa.array([0] * n, pa.int32()),
+            "attempts": pa.array([0] * n, pa.int32()),
+        }
+    )
+    rs = RunSet()
+    bounds = sorted({0, n} | set(
+        np.linspace(0, n, n_runs + 1).astype(int).tolist()
+    ))
+    for lo, hi in zip(bounds, bounds[1:]):
+        if hi > lo:
+            assert rs.add_table(frontier.slice(lo, hi - lo))
+    wave_rs, leftover = rs.cut(wave_k)
+    wave_np, deferred_np = wave_select_arrow(frontier, wave_k, 10**9)
+    assert wave_rs.column("url_hash").to_pylist() == wave_np.column("url_hash").to_pylist()
+    assert leftover.count == deferred_np.num_rows
