@@ -1116,6 +1116,21 @@ def _q_phash_neardup(sf_dir: str) -> pa.Table:
     return out.select(["id_a", "id_b", "hamming"])
 
 
+def _q_image_training_table(sf_dir: str) -> pa.Table:
+    """The full post-crawl pipeline: the flagship crawl's images table →
+    decode/validate → embed → phash near-dup dedup → training table
+    (pipelines.train_data — rows-only; composition of oracle-gated
+    stages)."""
+    _ctx()
+    from spider_ray.pipelines.train_data import image_training_table
+    from spider_ray.sources.storage import EpochStore
+
+    images = EpochStore(_run_crawl_cached(sf_dir)).read_all("images")
+    out = image_training_table(ray.data.from_arrow(images))
+    table = _collect(out).select(["image_id", "caption", "fmt", "phash"])
+    return table.sort_by("image_id")
+
+
 def _q_audio_features(sf_dir: str) -> pa.Table:
     """Multimodal audio: REAL stdlib-WAV decode + numpy DSP features via
     the AudioFeatures actor-pool stage (rows-only: binary decode is not
@@ -1583,6 +1598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_decode_stats": _q_image_decode_stats,
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
+        "image_training_table": _q_image_training_table,
         # events / relational
         "events_hour_agg": _q_events_hour_agg,
         "events_sessionize": _q_events_sessionize,

@@ -200,8 +200,21 @@ def run_scaling() -> dict:
     # noise — max estimates the uncontended 32-leg without bias. The
     # iso-load 8-leg needs no repeats: with the box fully loaded it is
     # noise-immune (observed spread < 3 % across windows).
+    import time as _time
+
+    def _cooldown():
+        # 75 s idle between legs: successive legs otherwise inherit the
+        # previous leg's thermal/turbo state (32-legs inside a scaling
+        # sequence measured 59-73 k pages/s vs 76-82 k standalone) — a
+        # carryover real N- vs 4N-node clusters do not have
+        _time.sleep(75)
+
     lo_raw = run_once(8)
-    hi = max(run_once(32), run_once(32), key=lambda r: r["pages_per_sec"])
+    _cooldown()
+    hi1 = run_once(32)
+    _cooldown()
+    hi = max(hi1, run_once(32), key=lambda r: r["pages_per_sec"])
+    _cooldown()
     # iso-load leg: 24 burners on cores 8-31, Ray job pinned to 0-7
     burners = [
         subprocess.Popen(

@@ -20,7 +20,6 @@ same rule as exact_dedup / the reference's first-wins dedups).
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 
@@ -72,17 +71,17 @@ def drop_set(components: pa.Table) -> set:
 
 def drop_non_canonical(ds, pairs: pa.Table, id_col: str = "doc_id"):
     """Filter the corpus Dataset down to near-dup-free rows: one broadcast
-    of the small drop set, zero shuffles of the corpus."""
-    import ray
+    of the small drop set (in the task closure), zero shuffles of the
+    corpus. Works for integer AND string id columns (``pc.is_in``)."""
+    import pyarrow.compute as pc
 
     drops = drop_set(connected_components(pairs))
     if not drops:
         return ds
-    ref = ray.put(np.fromiter(drops, dtype=np.int64, count=len(drops)))
+    drop_arr = pa.array(sorted(drops))
 
     def keep(batch: pa.Table) -> pa.Table:
-        dropped = ray.get(ref)
-        ids = batch.column(id_col).to_numpy()
-        return batch.filter(pa.array(~np.isin(ids, dropped)))
+        mask = pc.invert(pc.is_in(batch.column(id_col), value_set=drop_arr))
+        return batch.filter(pc.fill_null(mask, True))
 
     return ds.map_batches(keep, batch_format="pyarrow")

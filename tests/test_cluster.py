@@ -63,3 +63,48 @@ def test_end_to_end_minhash_dedup(ray_session):
     pairs = minhash_lsh_pairs(ds, verify_threshold=0.99)
     kept = drop_non_canonical(ds, pairs).to_pandas()
     assert sorted(kept["doc_id"]) == [0, 3, 4]
+
+
+def test_image_training_table_end_to_end(ray_session):
+    """Crawl-shaped images (incl. planted png/jpeg re-encodes of the same
+    pixels) → decoded, validated, embedded, near-dup-deduped training
+    table: one survivor per re-encode pair, embeddings attached, bytes
+    dropped from the output."""
+    import numpy as np
+    import pyarrow as pa
+
+    from spider_ray.functions.imagecodec import decode_image, encode_image, phash64
+    from spider_ray.pipelines.dedup import _to_i64
+    from spider_ray.pipelines.train_data import image_training_table
+    from spider_ray.sources.fixtures import MockWebConfig, caption_for, image_pixels
+
+    cfg = MockWebConfig(n_pages=100)
+    rows = []
+    for i in range(0, 40, 5):
+        pixels = image_pixels(i, cfg)
+        for fmt in ("png", "jpeg"):  # re-encode pair → near-dup
+            data = encode_image(pixels, fmt)
+            rows.append(
+                {
+                    "image_id": f"img-{i}-{fmt}",
+                    "bytes": data,
+                    "w": cfg.img_size, "h": cfg.img_size, "fmt": fmt,
+                    "caption": caption_for(i, cfg),
+                    "phash": _to_i64(phash64(decode_image(data))),
+                }
+            )
+    # one corrupt row: must be dropped by validation, not crash the stage
+    rows.append(
+        {"image_id": "bad", "bytes": b"\x00garbage", "w": 1, "h": 1,
+         "fmt": "png", "caption": "x", "phash": 0}
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = image_training_table(ds, decode_concurrency=2, batch_size=8).to_pandas()
+    # exactly one survivor per re-encode pair, corrupt row gone
+    assert len(out) == 8
+    assert set(out["image_id"]) == {f"img-{i}-jpeg" for i in range(0, 40, 5)} or all(
+        out.groupby(out["image_id"].str.extract(r"img-(\d+)-")[0]).size() == 1
+    )
+    assert "bytes" not in out.columns
+    assert all(len(v) == 20 for v in out["img_embedding"])
+    assert (out["caption"].str.startswith("caption for image")).all()
