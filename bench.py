@@ -115,7 +115,10 @@ def run_bench() -> dict:
         "events_hour_agg",
         "ann_topk",
         "simhash_pairs",
+        "minhash_pairs",
         "image_decode_stats",
+        "audio_features",
+        "video_frames",
     )
     for name in query_names:
         fn = entrymod.queries()[name]
@@ -193,6 +196,33 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    def run_iso(ncpu: int) -> dict:
+        """One leg under a fully-loaded box: the Ray job pinned to cores
+        [0, ncpu) and engine-hot-path burners on every remaining core, so
+        EVERY leg — whatever its size — runs in the same all-cores-busy
+        envelope (what each node of a real cluster sees)."""
+        if ncpu >= 32:
+            return run_once(32)
+        burners = [
+            subprocess.Popen(
+                ["taskset", "-c", str(c), sys.executable,
+                 os.path.abspath(__file__), "--burn"],
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+            for c in range(ncpu, 32)
+        ]
+        try:
+            import time as _t
+
+            _t.sleep(3)
+            return run_once(ncpu, pin=f"0-{ncpu - 1}")
+        finally:
+            for p in burners:
+                p.kill()
+            for p in burners:
+                p.wait()
+
     # raw-8 single run (best-of-N on the LOW leg rejected: it gifts the
     # low-CPU leg its turbo window). The 32-leg runs TWICE and takes the
     # best: a fully-busy 32-core job cannot catch turbo (all cores loaded
@@ -209,50 +239,36 @@ def run_scaling() -> dict:
         # carryover real N- vs 4N-node clusters do not have
         _time.sleep(75)
 
-    lo_raw = run_once(8)
+    lo_n = int(os.environ.get("SCALING_LO", "8"))
+    hi_n = 4 * lo_n
+    lo_raw = run_once(lo_n)
     _cooldown()
-    hi1 = run_once(32)
+    hi1 = run_iso(hi_n)
     _cooldown()
-    hi = max(hi1, run_once(32), key=lambda r: r["pages_per_sec"])
+    hi = max(hi1, run_iso(hi_n), key=lambda r: r["pages_per_sec"])
     _cooldown()
-    # iso-load leg: 24 burners on cores 8-31, Ray job pinned to 0-7
-    burners = [
-        subprocess.Popen(
-            ["taskset", "-c", str(c), sys.executable, os.path.abspath(__file__), "--burn"],
-            stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL,
-        )
-        for c in range(8, 32)
-    ]
-    try:
-        import time as _t
-
-        _t.sleep(3)  # let the envelope settle
-        lo_iso = run_once(8, pin="0-7")
-    finally:
-        for p in burners:
-            p.kill()
-        for p in burners:
-            p.wait()
+    lo_iso = run_iso(lo_n)
     tp_lo_raw, tp_lo_iso, tp_hi = (
         lo_raw["pages_per_sec"], lo_iso["pages_per_sec"], hi["pages_per_sec"]
     )
-    eff_raw = (tp_hi / tp_lo_raw) / (32 / 8)
-    eff_iso = (tp_hi / tp_lo_iso) / (32 / 8)
+    eff_raw = (tp_hi / tp_lo_raw) / 4.0
+    eff_iso = (tp_hi / tp_lo_iso) / 4.0
     return {
         "metric": "scaling_efficiency",
         "value": round(eff_iso, 3),  # iso-load = like-for-like envelope
         "unit": "ratio",
+        "n_lo": lo_n,
+        "n_hi": hi_n,
         "efficiency_iso_load": round(eff_iso, 3),
         "efficiency_raw": round(eff_raw, 3),
-        "sec_8_raw": lo_raw["value"],
-        "sec_8_iso": lo_iso["value"],
-        "sec_32": hi["value"],
-        "pages_per_sec_8_raw": tp_lo_raw,
-        "pages_per_sec_8_iso": tp_lo_iso,
-        "pages_per_sec_32": tp_hi,
-        "dedup_checks_per_sec_8_iso": lo_iso["dedup_checks_per_sec"],
-        "dedup_checks_per_sec_32": hi["dedup_checks_per_sec"],
+        "sec_lo_raw": lo_raw["value"],
+        "sec_lo_iso": lo_iso["value"],
+        "sec_hi": hi["value"],
+        "pages_per_sec_lo_raw": tp_lo_raw,
+        "pages_per_sec_lo_iso": tp_lo_iso,
+        "pages_per_sec_hi": tp_hi,
+        "dedup_checks_per_sec_lo_iso": lo_iso["dedup_checks_per_sec"],
+        "dedup_checks_per_sec_hi": hi["dedup_checks_per_sec"],
         "sf": lo_raw["sf"],
     }
 

@@ -30,11 +30,26 @@ fetch scheduler". Per wave (epoch):
 
 Scale notes: each wave materializes at most ``wave_k`` pages per worker set
 (the streaming unit — sized so a wave fits aggregate cluster memory); big
-binary payloads never pass through the driver. Wave selection has two
-equivalent implementations — a numpy fast path (composite-key sort) and a
-Ray Data ``groupby(host)/sort`` path for frontiers beyond driver memory
-(``wave_select_dataset``); both are deterministic and property-tested for
-equality.
+binary payloads never pass through the driver.
+
+The FRONTIER itself is distributed end-to-end, with three equivalent,
+property-tested representations picked by size:
+
+- **sorted runs (driver path)** — an LSM-style set of composite-sorted
+  tables (``RunSet``): wave cuts are zero-copy prefix slices + an exact
+  boundary-tie merge, O(wave_k) driver table work per epoch instead of
+  O(frontier); fresh candidates sort into a new run (compaction amortized).
+- **materialized numpy cut** (``wave_select_arrow``) — when the per-host
+  politeness cap binds or priorities aren't quantized.
+- **parquet partitions (beyond ``driver_wave_threshold``)** — the deferred
+  set is written by Ray tasks via ``write_parquet`` and read back lazily;
+  the driver holds only the epoch's small increment + exact counts, and
+  checkpoints hardlink the partition files (metadata-only).
+
+Dataset fetch mode streams pages/images/documents to their partition dirs
+with write TASKS; the driver's control plane is three slim columns per
+wave. Pool mode dispatches ~2 strided chunks per worker with
+work-stealing, so the end-of-wave barrier tail is one small chunk.
 """
 
 from __future__ import annotations

@@ -73,10 +73,15 @@ class FileCache:
             self._initialized = True
 
     def _path(self, key: str) -> str:
-        # key = "<namespace>:<sha256hex>"; shard by the first 2 digest chars
+        # key = "<namespace>:<sha256hex>"; shard by the first 2 digest chars.
+        # Components are sanitized to alphanumerics so a hostile key can
+        # never traverse outside the cache root.
         namespace, _, digest = key.partition(":")
-        digest = digest or "nokey"
-        return os.path.join(self.root, namespace or "default", digest[:2], digest)
+        namespace = "".join(
+            c for c in (namespace or "default") if c.isalnum() or c in "-_"
+        ) or "default"
+        digest = "".join(c for c in (digest or "nokey") if c.isalnum()) or "nokey"
+        return os.path.join(self.root, namespace, digest[:2], digest)
 
     def get(self, key: str):
         """Value if present and unexpired, else None (expired entries are
