@@ -155,6 +155,10 @@ class CrawlConfig:
     # deterministically/idempotently; K>1 amortizes the frontier serialize
     # (the frontier is the largest driver-held table at scale)
     checkpoint_interval: int = 1
+    # zero-arg callable returning a resolver (e.g. http_fetch.HttpResolver)
+    # — constructed ONCE per fetch actor in __init__; None → MockWeb.
+    # Real-HTTP crawls flow through the identical scheduler/dedup path.
+    resolver_factory: "object | None" = None
 
     def key(self) -> str:
         payload = asdict(self)
@@ -194,6 +198,7 @@ class FetchWorker:
         cache_enabled: bool = True,
         cache_dir: str | None = None,
         cache_ttl_ms: int | None = None,
+        resolver_factory=None,
     ):
         self.stage = FetchStage(
             web_config=web_config,
@@ -201,6 +206,7 @@ class FetchWorker:
             cache_enabled=cache_enabled or bool(cache_dir),
             cache_dir=cache_dir,
             cache_ttl_ms=cache_ttl_ms,
+            resolver=resolver_factory() if resolver_factory else None,
         )
         # worker-side dedup: each worker probes the shared seen shards for
         # its own chunk's candidates (north rule: bloom pre-filter lives in
@@ -940,6 +946,7 @@ def run_crawl(config: CrawlConfig, resume: bool = False) -> CrawlResult:
             config.fetch_cache,
             config.fetch_cache_dir,
             config.fetch_cache_ttl_ms,
+            config.resolver_factory,
         )
         for _ in range(pool_n)
     ]
@@ -1231,6 +1238,7 @@ def _fetch_wave(
                     "cache_enabled": config.fetch_cache or bool(config.fetch_cache_dir),
                     "cache_dir": config.fetch_cache_dir,
                     "cache_ttl_ms": config.fetch_cache_ttl_ms,
+                    "resolver_factory": config.resolver_factory,
                 },
                 batch_format="pyarrow",
                 batch_size=config.fetch_batch_size,

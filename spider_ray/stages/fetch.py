@@ -134,6 +134,7 @@ class FetchStage:
         simulated_latency_us: int = 0,
         custom_selectors: list[str] | None = None,
         resolver=None,
+        resolver_factory=None,
         cache_dir: str | None = None,
         cache_ttl_ms: int | None = None,
         cache_clock=None,
@@ -146,6 +147,10 @@ class FetchStage:
         # the network seam: anything with .resolve(url, attempts) →
         # MockResponse-shaped record. Default = hermetic MockWeb; pass
         # stages.http_fetch.HttpResolver for real HTTP (simple.ts parity).
+        # resolver_factory (a zero-arg callable) survives serialization into
+        # map_batches actor pools; the live resolver is built per actor.
+        if resolver is None and resolver_factory is not None:
+            resolver = resolver_factory()
         self.web = resolver if resolver is not None else MockWeb(
             web_config or MockWebConfig()
         )
