@@ -194,6 +194,45 @@ def minhash_band_rows(
     )
 
 
+def _nonsingleton_group_pairs(rows_ds, key_cols: list[str], pairs_of) -> pd.DataFrame:
+    """LSH bucket → pair generation with a singleton pre-filter.
+
+    Almost every band bucket holds ONE member; running ``map_groups`` over
+    all of them pays per-group pandas overhead for nothing. Instead:
+    (1) a vectorized ``groupby(keys).count()`` finds the (few) buckets with
+    ≥2 members, (2) their keys broadcast in a task closure, (3) a
+    ``pc.is_in`` semi-filter shrinks the rows, (4) ``map_groups`` runs only
+    on the surviving (dup-bucket) rows. Two light exchanges instead of one
+    exchange + O(#buckets) python group invocations."""
+    import pyarrow.compute as pc
+
+    counts = rows_ds.groupby(key_cols).count().to_pandas()
+    count_col = [c for c in counts.columns if c not in key_cols][0]
+    hot = counts[counts[count_col] >= 2]
+    if hot.empty:
+        return pd.DataFrame()
+    hot_keys = pa.array(
+        [
+            "\0".join(str(v) for v in row)
+            for row in zip(*[hot[c] for c in key_cols])
+        ]
+    )
+
+    def semi(batch: pa.Table) -> pa.Table:
+        key = batch.column(key_cols[0]).cast(pa.string())
+        for c in key_cols[1:]:
+            key = pc.binary_join_element_wise(
+                key, batch.column(c).cast(pa.string()), "\0"
+            )
+        mask = pc.is_in(key, value_set=hot_keys)
+        return batch.filter(pc.fill_null(mask, False))
+
+    survivors = rows_ds.map_batches(semi, batch_format="pyarrow")
+    return survivors.groupby(key_cols).map_groups(
+        pairs_of, batch_format="pandas"
+    ).to_pandas()
+
+
 def _shingle_rows(
     batch: pa.Table, id_col: str, text_col: str, shingle_k: int,
     out_id: str, out_sh: str,
@@ -258,7 +297,7 @@ def minhash_lsh_pairs(
     band_rows = ds.map_batches(
         lambda t: minhash_band_rows(t, hasher, id_col, text_col, bands, shingle_k),
         batch_format="pyarrow",
-    )
+    ).materialize()  # consumed twice: bucket-count pass + pair pass
 
     def pairs_of(group: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(group["doc_id"].tolist()))
@@ -269,12 +308,9 @@ def minhash_lsh_pairs(
             {"id_a": [ids[i] for i in ia], "id_b": [ids[i] for i in ib]}
         )
 
-    cand = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        pairs_of, batch_format="pandas"
+    cand_df = _nonsingleton_group_pairs(
+        band_rows, ["band_id", "band_hash"], pairs_of
     )
-    # candidate pairs are the small derived set (O(near-dups)); dedup+sort
-    # on the driver is fine — the corpus never is
-    cand_df = cand.to_pandas()
     empty = pa.table(
         {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
          "jaccard": pa.array([], pa.float64())}
@@ -289,30 +325,55 @@ def minhash_lsh_pairs(
     if not verify:
         cand_df["jaccard"] = np.nan
         return pa.Table.from_pandas(cand_df, preserve_index=False)
-    shingles = ds.map_batches(
-        lambda t: _shingle_rows(t, id_col, text_col, shingle_k, "id_a", "sh_a"),
-        batch_format="pyarrow",
-    ).materialize()
-    sh_b = shingles.map_batches(
-        lambda t: t.rename_columns(["id_b", "sh_b"]), batch_format="pyarrow"
-    )
-    j1 = bucketed_hash_join(
-        ray.data.from_pandas(cand_df),
-        shingles,
-        on="id_a",
-        left_cols=["id_b"],
-        right_cols=["sh_a"],
-        n_buckets=join_buckets,
-    )
-    j2 = bucketed_hash_join(
-        j1,
-        sh_b,
-        on="id_b",
-        left_cols=["id_a", "sh_a"],
-        right_cols=["sh_b"],
-        n_buckets=join_buckets,
-    )
-    verified = j2.map_batches(_jaccard_of_rows, batch_format="pandas").to_pandas()
+    import pyarrow.compute as pc
+
+    cand_ids = sorted(set(cand_df["id_a"]) | set(cand_df["id_b"]))
+    if len(cand_ids) <= 200_000:
+        # SEMI-JOIN fast path: filter the (distributed) shingle computation
+        # down to candidate docs only — O(near-dup docs) crosses to the
+        # driver, never the corpus — then verify locally. The bucketed-join
+        # path below has two hash exchanges of the WHOLE shingle table,
+        # which only pays off when the candidate set itself is huge.
+        id_arr = pa.array(cand_ids, pa.int64())
+
+        def semi(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch.column(id_col), value_set=id_arr)
+            return _shingle_rows(
+                batch.filter(pc.fill_null(mask, False)),
+                id_col, text_col, shingle_k, "doc_id", "sh",
+            )
+
+        sub = ds.map_batches(semi, batch_format="pyarrow").to_pandas()
+        sh_of = dict(zip(sub["doc_id"], sub["sh"]))
+        verified = cand_df.copy()
+        verified["sh_a"] = [sh_of.get(i) for i in cand_df["id_a"]]
+        verified["sh_b"] = [sh_of.get(i) for i in cand_df["id_b"]]
+        verified = _jaccard_of_rows(verified)
+    else:
+        shingles = ds.map_batches(
+            lambda t: _shingle_rows(t, id_col, text_col, shingle_k, "id_a", "sh_a"),
+            batch_format="pyarrow",
+        ).materialize()
+        sh_b = shingles.map_batches(
+            lambda t: t.rename_columns(["id_b", "sh_b"]), batch_format="pyarrow"
+        )
+        j1 = bucketed_hash_join(
+            ray.data.from_pandas(cand_df),
+            shingles,
+            on="id_a",
+            left_cols=["id_b"],
+            right_cols=["sh_a"],
+            n_buckets=join_buckets,
+        )
+        j2 = bucketed_hash_join(
+            j1,
+            sh_b,
+            on="id_b",
+            left_cols=["id_a", "sh_a"],
+            right_cols=["sh_b"],
+            n_buckets=join_buckets,
+        )
+        verified = j2.map_batches(_jaccard_of_rows, batch_format="pandas").to_pandas()
     out = verified[verified["jaccard"] >= verify_threshold].sort_values(
         ["id_a", "id_b"]
     )[["id_a", "id_b", "jaccard"]]
@@ -388,9 +449,9 @@ def simhash_pairs(ds, id_col="doc_id", text_col="text", max_hamming: int = 3):
         )
         return pd.DataFrame({"id_a": a, "id_b": b, "hamming": d})
 
-    pairs = rows.groupby(["band_id", "band_val"]).map_groups(
-        pairs_of, batch_format="pandas"
-    ).to_pandas()
+    pairs = _nonsingleton_group_pairs(
+        rows.materialize(), ["band_id", "band_val"], pairs_of
+    )
     if pairs.empty:
         return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()), "hamming": pa.array([], pa.int64())})
     pairs = pairs.drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"])
@@ -428,11 +489,10 @@ def hash_band_pairs(
         )
         return pd.DataFrame({"id_a": a, "id_b": b, "hamming": d})
 
-    pairs = (
-        ds.map_batches(to_bands, batch_format="pandas")
-        .groupby(["band_id", "band_val"])
-        .map_groups(pairs_of, batch_format="pandas")
-        .to_pandas()
+    pairs = _nonsingleton_group_pairs(
+        ds.map_batches(to_bands, batch_format="pandas").materialize(),
+        ["band_id", "band_val"],
+        pairs_of,
     )
     if pairs.empty:
         return pa.table(
