@@ -1420,6 +1420,70 @@ WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INT % 16 = 0
 """
 
 
+def _q_events_asof_join(sf_dir: str) -> pa.Table:
+    """Point-in-time-correct as-of join: every event picks the latest
+    snapshot (every-10th event, max-cents per (user, ts) to break ties
+    identically on both engines) of its user at or before its timestamp
+    (pipelines.relational.asof_join ↔ DuckDB ASOF JOIN)."""
+    _ctx()
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max
+
+    from spider_ray.pipelines.relational import asof_join
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def snap_prep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_numpy()
+        keep = batch.filter(pa.array(ids % 10 == 0))
+        return pa.table(
+            {
+                "user_id": keep.column("user_id"),
+                "ts": keep.column("ts"),
+                "snap_cents": _cents_arrow(keep.column("value")),
+            }
+        )
+
+    snaps = (
+        events.map_batches(snap_prep, batch_format="pyarrow")
+        .groupby(["user_id", "ts"])
+        .aggregate(Max("snap_cents", alias_name="snap_cents"))
+    )
+    left = events.map_batches(
+        lambda t: t.select(["event_id", "user_id", "ts"]), batch_format="pyarrow"
+    )
+    joined = asof_join(
+        left, snaps, key="user_id", ts="ts",
+        left_cols=["event_id"], right_cols=["snap_cents"],
+    ).to_pandas()
+    joined = joined[joined["snap_cents"].notna()]
+    return pa.table(
+        {
+            "event_id": pa.array(joined["event_id"].astype("int64")),
+            "user_id": pa.array(joined["user_id"].astype("int64")),
+            "snap_ts_us": pa.array(
+                joined["ts_right"].astype("int64") // 1, pa.int64()
+            ),
+            "snap_cents": pa.array(joined["snap_cents"].astype("int64")),
+        }
+    )
+
+
+_SQL_EVENTS_ASOF_JOIN = """
+WITH snaps AS (
+  SELECT user_id, ts, max(CAST(round(value * 100) AS BIGINT)) AS snap_cents
+  FROM events WHERE event_id % 10 = 0
+  GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id,
+       epoch_us(s.ts)::BIGINT AS snap_ts_us,
+       s.snap_cents
+FROM events e ASOF JOIN snaps s
+  ON e.user_id = s.user_id AND e.ts >= s.ts
+"""
+
+
 def _q_broadcast_revenue(sf_dir: str) -> pa.Table:
     _ctx()
     from spider_ray.pipelines.relational import broadcast_join, preagg_sum
@@ -1607,6 +1671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_sources": _q_distinct_sources,
         "hash_sample": _q_hash_sample,
         "events_topk_users": _q_events_topk_users,
+        "events_asof_join": _q_events_asof_join,
         "broadcast_revenue": _q_broadcast_revenue,
         "partitioned_join": _q_partitioned_join,
         "lineitem_agg": _q_lineitem_agg,
@@ -1645,6 +1710,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_sources": _SQL_DISTINCT_SOURCES,
         "hash_sample": _SQL_HASH_SAMPLE,
         "events_topk_users": _SQL_EVENTS_TOPK_USERS,
+        "events_asof_join": _SQL_EVENTS_ASOF_JOIN,
         "broadcast_revenue": _SQL_BROADCAST_REVENUE,
         "partitioned_join": _SQL_PARTITIONED_JOIN,
         "lineitem_agg": _SQL_LINEITEM_AGG,

@@ -98,6 +98,94 @@ def bucketed_hash_join(
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 
 
+def asof_join(
+    left_ds,
+    right_ds,
+    key: str,
+    ts: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    n_buckets: int = 32,
+):
+    """As-of join: each left row picks the LATEST right row of the same
+    key with right.ts <= left.ts (backward as-of — the time-series /
+    point-in-time-correct lookup Ray Data lacks natively).
+
+    Physical plan: both sides tagged into one hash exchange on
+    ``hash(key) % n_buckets`` (the bucketed-join pattern), then a per-key
+    sort + ``pd.merge_asof`` inside each group — state never crosses key
+    boundaries, so the shape holds at any scale where one key's history
+    fits a worker. Right-side ``ts`` is emitted as ``<ts>_right``.
+    """
+
+    def _ensure_arrow(ds):
+        base = getattr(ds.schema(), "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return ds
+        return ds.map_batches(lambda t: t, batch_format="pyarrow")
+
+    left_ds = _ensure_arrow(left_ds)
+    right_ds = _ensure_arrow(right_ds)
+
+    def tag(side: str):
+        def add(batch: pa.Table) -> pa.Table:
+            keys_np = (
+                batch.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+                % n_buckets
+            ).astype(np.int32)
+            batch = batch.append_column("__bucket", pa.array(keys_np))
+            return batch.append_column(
+                "__side", pa.array([side] * batch.num_rows, pa.string())
+            )
+
+        return add
+
+    lt = left_ds.map_batches(tag("L"), batch_format="pyarrow")
+    rt = right_ds.map_batches(tag("R"), batch_format="pyarrow")
+
+    # union needs one schema: project both sides onto the combined columns
+    all_cols = [key, ts, *left_cols, *right_cols, "__bucket", "__side"]
+
+    def project(own: list[str]):
+        def run(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            arrays = {}
+            for c in all_cols:
+                if c in batch.column_names:
+                    arrays[c] = batch.column(c)
+                else:
+                    arrays[c] = pa.nulls(n, _ASOF_TYPES[c])
+            return pa.table(arrays)
+
+        return run
+
+    _ASOF_TYPES = {}
+    for ds_, cols in ((lt, [key, ts, *left_cols, "__bucket", "__side"]),
+                      (rt, [key, ts, *right_cols, "__bucket", "__side"])):
+        sch = getattr(ds_.schema(), "base_schema", None)
+        for c in cols:
+            _ASOF_TYPES.setdefault(c, sch.field(c).type)
+    both = lt.map_batches(project(left_cols), batch_format="pyarrow").union(
+        rt.map_batches(project(right_cols), batch_format="pyarrow")
+    )
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        out_cols = [key, ts, *left_cols, *right_cols, f"{ts}_right"]
+        l = group[group["__side"] == "L"][[key, ts, *left_cols]].sort_values(
+            ts, kind="mergesort"
+        )
+        r = group[group["__side"] == "R"][[key, ts, *right_cols]].sort_values(
+            ts, kind="mergesort"
+        )
+        if l.empty:
+            return pd.DataFrame(columns=out_cols)
+        r = r.assign(**{f"{ts}_right": r[ts]})
+        merged = pd.merge_asof(l, r, on=ts, by=key, direction="backward")
+        return merged[out_cols]
+
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
 def preagg_sum(ds, keys: list[str], sum_cols: list[str], count_alias: str | None = None):
     """sum/count per key with per-batch partial aggregation first."""
 

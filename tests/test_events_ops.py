@@ -80,3 +80,44 @@ def test_distinct_and_hash_sample(events_ds):
     # reproducible: second run identical
     again = hash_sample(ds, "event_id", buckets=16).to_pandas()
     assert sorted(sampled["event_id"]) == sorted(again["event_id"])
+
+
+def test_asof_join_matches_pandas(events_ds):
+    """Bucketed as-of join ≡ a global pandas merge_asof."""
+    import pyarrow as pa
+
+    from spider_ray.pipelines.relational import asof_join
+
+    df, ds = events_ds
+    snaps_df = (
+        df[df["event_id"] % 7 == 0][["user_id", "ts", "value"]]
+        .groupby(["user_id", "ts"], as_index=False)["value"].max()
+        .rename(columns={"value": "snap_value"})
+    )
+    left = ds.map_batches(
+        lambda t: t.select(["event_id", "user_id", "ts"]), batch_format="pyarrow"
+    )
+    snaps = ray.data.from_pandas(snaps_df)
+    out = asof_join(
+        left, snaps, key="user_id", ts="ts",
+        left_cols=["event_id"], right_cols=["snap_value"],
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+
+    expected = pd.merge_asof(
+        df[["event_id", "user_id", "ts"]].sort_values("ts", kind="mergesort"),
+        snaps_df.assign(ts_right=snaps_df["ts"]).sort_values("ts", kind="mergesort"),
+        on="ts", by="user_id", direction="backward",
+    ).sort_values("event_id").reset_index(drop=True)
+    assert len(out) == len(expected)
+
+    def norm(frame):
+        ts_right = pd.to_datetime(frame["ts_right"]).fillna(pd.Timestamp(0))
+        return pd.DataFrame(
+            {
+                "event_id": frame["event_id"].astype("int64"),
+                "snap_value": frame["snap_value"].astype("float64").fillna(-1.0),
+                "ts_right": ts_right.astype("datetime64[us]").astype("int64"),
+            }
+        ).reset_index(drop=True)
+
+    assert norm(out).equals(norm(expected))
