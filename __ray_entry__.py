@@ -1484,6 +1484,50 @@ FROM events e ASOF JOIN snaps s
 """
 
 
+def _q_events_range_join(sf_dir: str) -> pa.Table:
+    """Interval-containment (range) join: every event matches the 5-minute
+    windows opened by its user's every-50th events
+    (relational.range_join_broadcast ↔ SQL BETWEEN join)."""
+    _ctx()
+    from spider_ray.pipelines.relational import range_join_broadcast
+
+    snap = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    ).to_pandas()
+    iv = snap[snap["event_id"] % 50 == 0].copy()
+    intervals = pd.DataFrame(
+        {
+            "interval_id": iv["event_id"].to_numpy(),
+            "user_id": iv["user_id"].to_numpy(),
+            "start": iv["ts"].to_numpy(),
+            "end": (iv["ts"] + pd.Timedelta(minutes=5)).to_numpy(),
+        }
+    )
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    joined = range_join_broadcast(
+        events, intervals, key="user_id", ts="ts",
+        interval_cols=["interval_id"],
+    ).to_pandas()
+    return pa.table(
+        {
+            "event_id": pa.array(joined["event_id"].astype("int64")),
+            "interval_id": pa.array(joined["interval_id"].astype("int64")),
+        }
+    )
+
+
+_SQL_EVENTS_RANGE_JOIN = """
+WITH intervals AS (
+  SELECT event_id AS interval_id, user_id, ts AS start_ts,
+         ts + INTERVAL 5 MINUTE AS end_ts
+  FROM events WHERE event_id % 50 = 0
+)
+SELECT e.event_id, i.interval_id
+FROM events e JOIN intervals i
+  ON e.user_id = i.user_id AND e.ts BETWEEN i.start_ts AND i.end_ts
+"""
+
+
 def _q_broadcast_revenue(sf_dir: str) -> pa.Table:
     _ctx()
     from spider_ray.pipelines.relational import broadcast_join, preagg_sum
@@ -1672,6 +1716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": _q_hash_sample,
         "events_topk_users": _q_events_topk_users,
         "events_asof_join": _q_events_asof_join,
+        "events_range_join": _q_events_range_join,
         "broadcast_revenue": _q_broadcast_revenue,
         "partitioned_join": _q_partitioned_join,
         "lineitem_agg": _q_lineitem_agg,
@@ -1711,6 +1756,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": _SQL_HASH_SAMPLE,
         "events_topk_users": _SQL_EVENTS_TOPK_USERS,
         "events_asof_join": _SQL_EVENTS_ASOF_JOIN,
+        "events_range_join": _SQL_EVENTS_RANGE_JOIN,
         "broadcast_revenue": _SQL_BROADCAST_REVENUE,
         "partitioned_join": _SQL_PARTITIONED_JOIN,
         "lineitem_agg": _SQL_LINEITEM_AGG,

@@ -186,6 +186,46 @@ def asof_join(
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 
 
+def range_join_broadcast(
+    ds,
+    intervals: pd.DataFrame,
+    key: str,
+    ts: str,
+    start: str = "start",
+    end: str = "end",
+    interval_cols: list[str] | None = None,
+):
+    """Range (interval-containment) join: each row of ``ds`` matches every
+    interval of the same key with ``start <= ts <= end`` (inner join, one
+    output row per match).
+
+    The interval side is broadcast once via ``ray.put`` (dimension-sized —
+    the common case for session windows / campaign periods / validity
+    ranges); each batch fans out with a vectorized key merge and filters
+    the containment predicate — no shuffle of the fact side at all. For
+    fact-sized interval tables, bucket both sides by key (the
+    bucketed_hash_join pattern) and apply the same per-group probe.
+    """
+    import ray
+
+    interval_cols = interval_cols or [
+        c for c in intervals.columns if c not in (key, start, end)
+    ]
+    ref = ray.put(
+        intervals[[key, start, end, *interval_cols]].sort_values(
+            [key, start], kind="mergesort"
+        )
+    )
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        dim = ray.get(ref)
+        merged = batch.merge(dim, on=key, how="inner")
+        mask = (merged[start] <= merged[ts]) & (merged[ts] <= merged[end])
+        return merged[mask]
+
+    return ds.map_batches(probe, batch_format="pandas")
+
+
 def preagg_sum(ds, keys: list[str], sum_cols: list[str], count_alias: str | None = None):
     """sum/count per key with per-batch partial aggregation first."""
 
