@@ -1420,6 +1420,32 @@ WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INT % 16 = 0
 """
 
 
+def _q_approx_distinct_users(sf_dir: str) -> pa.Table:
+    """KMV distinct sketch per event_type (pipelines.sketches): the column
+    never shuffles — one partial sketch row per (group, batch), merged by
+    set-union. k is sized above the true cardinality at oracle scale, so
+    the sketch answer is EXACT there (the estimator path is pinned by
+    tests/test_sketches.py)."""
+    _ctx()
+    from spider_ray.pipelines.sketches import approx_distinct
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    out = approx_distinct(ds, "user_id", group_cols=["event_type"], k=1 << 17)
+    df = out.to_pandas().sort_values("event_type")
+    return pa.table(
+        {
+            "event_type": pa.array(df["event_type"], pa.string()),
+            "approx_distinct": pa.array(df["approx_distinct"].astype("int64")),
+        }
+    )
+
+
+_SQL_APPROX_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS approx_distinct
+FROM events GROUP BY event_type
+"""
+
+
 def _q_events_asof_join(sf_dir: str) -> pa.Table:
     """Point-in-time-correct as-of join: every event picks the latest
     snapshot (every-10th event, max-cents per (user, ts) to break ties
@@ -1717,6 +1743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk_users": _q_events_topk_users,
         "events_asof_join": _q_events_asof_join,
         "events_range_join": _q_events_range_join,
+        "approx_distinct_users": _q_approx_distinct_users,
         "broadcast_revenue": _q_broadcast_revenue,
         "partitioned_join": _q_partitioned_join,
         "lineitem_agg": _q_lineitem_agg,
@@ -1757,6 +1784,7 @@ def oracle_sql() -> dict[str, str]:
         "events_topk_users": _SQL_EVENTS_TOPK_USERS,
         "events_asof_join": _SQL_EVENTS_ASOF_JOIN,
         "events_range_join": _SQL_EVENTS_RANGE_JOIN,
+        "approx_distinct_users": _SQL_APPROX_DISTINCT_USERS,
         "broadcast_revenue": _SQL_BROADCAST_REVENUE,
         "partitioned_join": _SQL_PARTITIONED_JOIN,
         "lineitem_agg": _SQL_LINEITEM_AGG,
