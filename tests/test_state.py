@@ -70,3 +70,30 @@ def test_robots_parsing():
     assert allowed.tolist() == [True, False]
     st.set_robots("open.test", None)
     assert st.allowed("open.test", ["http://open.test/anything"]).tolist() == [True]
+
+
+def test_link_frontier_survives_source_deletion(tmp_path):
+    """Checkpointed frontier partitions are hardlinks: deleting the
+    transient source dir (next-wave cleanup) must not lose checkpoint data."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spider_ray.sources.storage import EpochStore, write_table
+
+    store = EpochStore(str(tmp_path / "store"))
+    src = tmp_path / "work" / "epoch=0"
+    t1 = pa.table({"url": ["a", "b"], "url_hash": pa.array([1, 2], pa.uint64())})
+    t2 = pa.table({"url": ["c"], "url_hash": pa.array([3], pa.uint64())})
+    write_table(t1, str(src), "part-00000.parquet")
+    write_table(t2, str(src), "part-00001.parquet")
+    extra = pa.table({"url": ["d"], "url_hash": pa.array([4], pa.uint64())})
+    store.link_frontier(0, extra, [str(src)])
+    shutil.rmtree(src)  # transient dir consumed
+    back = store.read("frontier", 0)
+    assert sorted(back.column("url").to_pylist()) == ["a", "b", "c", "d"]
+    # idempotent re-checkpoint (epoch re-run) replaces wholesale
+    write_table(t2, str(src), "part-00001.parquet")
+    store.link_frontier(0, extra, [str(src)])
+    assert sorted(store.read("frontier", 0).column("url").to_pylist()) == ["c", "d"]
