@@ -163,6 +163,54 @@ FROM crawl_nodes
 """
 
 
+_DIST_CRAWL_CACHE: dict[str, str] = {}
+
+
+def _q_crawl_order_distributed(sf_dir: str) -> pa.Table:
+    """The SAME crawl-order oracle, but through the fully distributed
+    path: driver_wave_threshold=0 forces the Ray Data wave-cut plan +
+    partitioned frontier, and fetch_mode='dataset' streams pages/images/
+    documents via write tasks — the scale path must be value-exact against
+    the identical DuckDB BFS closure the pool path is gated on."""
+    _ctx()
+    if sf_dir not in _DIST_CRAWL_CACHE:
+        from spider_ray.pipelines.crawl import CrawlConfig, run_crawl
+        from spider_ray.sources.fixtures import MockWebConfig, seed_urls
+
+        n_pages = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+        cfg = MockWebConfig(
+            n_pages=n_pages, n_hosts=CRAWL_HOSTS, img_every=CRAWL_IMG_EVERY
+        )
+        out_dir = (
+            f"/tmp/spider_ray_crawl_dist/{os.path.basename(os.path.normpath(sf_dir))}"
+        )
+        if os.path.exists(out_dir):
+            shutil.rmtree(out_dir)
+        run_crawl(
+            CrawlConfig(
+                out_dir=out_dir,
+                seeds=seed_urls(cfg, every=CRAWL_SEED_EVERY),
+                web=cfg,
+                wave_k=10_000_000,
+                exact_seen=True,
+                use_bloom=False,
+                fetch_concurrency=8,
+                fetch_batch_size=512,
+                max_epochs=128,
+                driver_wave_threshold=0,
+                fetch_mode="dataset",
+                fetch_num_cpus=0.7,
+            )
+        )
+        _DIST_CRAWL_CACHE[sf_dir] = out_dir
+    from spider_ray.sources.storage import EpochStore
+
+    order = EpochStore(_DIST_CRAWL_CACHE[sf_dir]).read_all("order")
+    return order.select(["epoch", "seq", "url"]).cast(
+        pa.schema([("epoch", pa.int64()), ("seq", pa.int64()), ("url", pa.string())])
+    )
+
+
 def _q_crawl_captions(sf_dir: str) -> pa.Table:
     _ctx()
     from spider_ray.sources.storage import EpochStore
@@ -1191,6 +1239,38 @@ def _q_image_decode_stats(sf_dir: str) -> pa.Table:
     return _collect(out).select(["image_id", "dec_w", "dec_h", "dec_fmt", "dec_phash"])
 
 
+def _q_jpeg_transcode_conformance(sf_dir: str) -> pa.Table:
+    """Real-T.81-JPEG transcode conformance: decode the stored fixture image,
+    re-encode through the REAL baseline JPEG codec (jpegcodec.encode_jpeg,
+    q=100), decode the real bitstream back, and gate PSNR >= 40 dB — the
+    north rule's per-row decoded-pixel invariant, proven against an actual
+    JPEG bitstream rather than the deterministic stand-in codec."""
+    _ctx()
+    from spider_ray.sources.fixtures import MockWeb, MockWebConfig
+    from spider_ray.stages.images import JpegTranscode
+
+    n = min(500, pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows)
+    web = MockWeb(MockWebConfig(n_pages=n))
+    rows = []
+    for i in range(0, n, CRAWL_IMG_EVERY):
+        row = web.expected_image_row(i)
+        rows.append({"img_idx": i, "bytes": row["bytes"]})
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = ds.map_batches(
+        JpegTranscode, batch_size=32, concurrency=2, batch_format="pyarrow"
+    )
+    tbl = _collect(out).select(["img_idx", "psnr_ok"]).sort_by("img_idx")
+    return tbl
+
+
+_SQL_JPEG_TRANSCODE = r"""
+SELECT doc_id AS img_idx, TRUE AS psnr_ok
+FROM documents
+WHERE doc_id % 5 = 0 AND doc_id < 500
+ORDER BY img_idx
+"""
+
+
 # ---------------------------------------------------------------------------
 # events / relational
 # ---------------------------------------------------------------------------
@@ -1696,6 +1776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # crawl engine (flagship)
         "crawl_order": _q_crawl_order,
+        "crawl_order_distributed": _q_crawl_order_distributed,
         "crawl_captions": _q_crawl_captions,
         "crawl_lineage": _q_crawl_lineage,
         # URL / link / detector operators
@@ -1730,6 +1811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "image_decode_stats": _q_image_decode_stats,
+        "jpeg_transcode_conformance": _q_jpeg_transcode_conformance,
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
         "image_training_table": _q_image_training_table,
@@ -1753,6 +1835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "crawl_order": _SQL_CRAWL_ORDER,
+        "crawl_order_distributed": _SQL_CRAWL_ORDER,  # same closure oracle
         "crawl_captions": _SQL_CRAWL_CAPTIONS,
         "crawl_lineage": _SQL_CRAWL_LINEAGE,
         "canonicalize_urls": _SQL_CANONICALIZE,
@@ -1789,6 +1872,7 @@ def oracle_sql() -> dict[str, str]:
         "partitioned_join": _SQL_PARTITIONED_JOIN,
         "lineitem_agg": _SQL_LINEITEM_AGG,
         "embedding_neardup": _SQL_EMBEDDING_NEARDUP,
+        "jpeg_transcode_conformance": _SQL_JPEG_TRANSCODE,
         # lang_quality / fingerprints / minhash_pairs / simhash_pairs /
         # ivf_topk / image_decode_stats are deliberately non-SQL
         # (heuristic / sketch / approximate / binary-decode) → rows-only.

@@ -1,16 +1,18 @@
 """Image codecs, format sniffing, perceptual hash, PSNR.
 
-The container has no PIL/libjpeg, so (per the build brief) the decode step
-for real-world formats is stubbed while the Ray-side plumbing stays real:
+The container has no PIL/libjpeg; all codecs here are written against the
+public specs in numpy/stdlib:
 
 - **PNG**: a REAL, spec-compliant encoder/decoder for 8-bit RGB written
   against the public PNG spec using stdlib ``zlib``/``struct`` (filter 0;
   decoder also unfilters Sub/Up/Average/Paeth). Round-trips losslessly.
-- **"JPEG"**: ``DETERMINISTIC FAKE LOSSY CODEC`` — a stand-in for libjpeg:
-  real JPEG SOI magic (``FF D8 FF E0``) + an APP0 payload containing
-  ``FAKEJPG`` + dims + zlib-compressed pixels quantized to step 8
-  (uniform quantization error in [-4,4] ⇒ PSNR ≈ 40.9 dB ≥ the 40 dB
-  gate). Decoding a REAL camera JPEG is NotImplementedError.
+- **"JPEG"**: two decodable families behind one ``decode_image`` seam:
+  (a) the ``DETERMINISTIC FAKE LOSSY CODEC`` — JPEG SOI magic + ``FAKEJPG``
+  APP0 payload with step-8 quantized pixels (PSNR ≈ 40.9 dB ≥ the 40 dB
+  gate) — kept as the crawl-fixture encoding so benches stay comparable
+  across rounds; (b) REAL baseline-sequential T.81 JPEG via
+  :mod:`.jpegcodec` (Annex K tables, JFIF, 4:4:4/4:2:0, restart markers) —
+  any bitstream without the ``FAKEJPG`` tag decodes through the real path.
 - ``sniff_format`` from magic bytes (generalizes the reference's PDF
   sniffing, src/scrapeDocument.ts:300-303, to the image ``fmt`` column).
 - ``phash64``: 8×8 average-hash over the grayscale image (DCT-free
@@ -189,11 +191,17 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
 
 
 def decode_image(data: bytes) -> np.ndarray:
+    """Dispatch on magic bytes: PNG, the deterministic stand-in codec (tagged
+    ``FAKEJPG``), or a real baseline T.81 JPEG bitstream (``jpegcodec``)."""
     fmt = sniff_format(data)
     if fmt == "png":
         return decode_png(data)
     if fmt == "jpeg":
-        return decode_fake_jpeg(data)
+        if FAKE_JPEG_TAG in data[:32]:
+            return decode_fake_jpeg(data)
+        from .jpegcodec import decode_jpeg  # real T.81 baseline decoder
+
+        return decode_jpeg(data)
     raise ValueError(f"cannot decode fmt {fmt!r}")
 
 

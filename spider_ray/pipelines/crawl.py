@@ -936,20 +936,28 @@ def run_crawl(config: CrawlConfig, resume: bool = False) -> CrawlResult:
     max_workers = max(1, int((avail_cpus - reserved) / max(0.1, config.fetch_num_cpus)))
     pool_n = max(1, min(config.fetch_concurrency, max_workers))
     worker_dedup = config.fetch_mode != "dataset"
-    fetch_pool = [
-        FetchWorker.options(num_cpus=config.fetch_num_cpus).remote(
-            config.web,
-            config.adapter,
-            seen if worker_dedup else None,
-            config.use_bloom if worker_dedup else False,
-            config.max_depth,
-            config.fetch_cache,
-            config.fetch_cache_dir,
-            config.fetch_cache_ttl_ms,
-            config.resolver_factory,
-        )
-        for _ in range(pool_n)
-    ]
+    # Pure dataset mode never touches the persistent pool — building it
+    # anyway would park pool_n × fetch_num_cpus CPUs on idle actors and
+    # starve the Ray Data pipeline's own tasks (observed as a from_arrow
+    # metadata-task deadlock on small CPU counts).
+    fetch_pool = (
+        []
+        if config.fetch_mode == "dataset"
+        else [
+            FetchWorker.options(num_cpus=config.fetch_num_cpus).remote(
+                config.web,
+                config.adapter,
+                seen if worker_dedup else None,
+                config.use_bloom if worker_dedup else False,
+                config.max_depth,
+                config.fetch_cache,
+                config.fetch_cache_dir,
+                config.fetch_cache_ttl_ms,
+                config.resolver_factory,
+            )
+            for _ in range(pool_n)
+        ]
+    )
 
     start_epoch = 0
     manifest = store.manifest()
@@ -1138,7 +1146,7 @@ def run_crawl(config: CrawlConfig, resume: bool = False) -> CrawlResult:
         tracer.dump()
         import sys
 
-        ws = ray.get([w.stats.remote() for w in fetch_pool])
+        ws = ray.get([w.stats.remote() for w in fetch_pool]) if fetch_pool else []
         print(
             f"[spider-ray trace] workers n={len(ws)} "
             f"busy_sum={sum(w.get('busy_s', 0) for w in ws):.1f}s "
@@ -1242,7 +1250,11 @@ def _fetch_wave(
                 },
                 batch_format="pyarrow",
                 batch_size=config.fetch_batch_size,
-                concurrency=config.fetch_concurrency,
+                # autoscaling pool (min 1): a fixed-size pool of exactly
+                # fetch_concurrency actors deadlocks when service actors
+                # (seen shards, politeness) already hold part of the CPUs
+                concurrency=(1, config.fetch_concurrency),
+                num_cpus=config.fetch_num_cpus,
             )
             .map_batches(parse_links_batch, batch_format="pyarrow")
             .materialize()

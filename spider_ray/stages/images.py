@@ -3,9 +3,9 @@
 Images travel as opaque ``binary`` columns with typed metadata (the
 input-hint images schema). Stages here are the decode / resize /
 feature-extract plumbing a training-data pipeline needs; the codec seam is
-functions.imagecodec (real pure-python PNG, deterministic fake lossy codec;
-real camera-JPEG decode would need libjpeg and raises NotImplementedError —
-the Ray-side batch/actor plumbing is identical either way).
+functions.imagecodec (real pure-python PNG, deterministic stand-in lossy
+codec, and a REAL baseline T.81 JPEG codec in functions.jpegcodec — any
+JPEG bitstream without the FAKEJPG tag decodes through the real path).
 
 Batch sizing: image payloads are wide — callers should use small
 ``batch_size`` (64-256) so batch × concurrency stays inside worker heaps;
@@ -121,6 +121,52 @@ class ImageEmbed:
             vecs.append(np.concatenate([hist, moments]).astype(np.float32).tolist())
         return batch.append_column(
             "img_embedding", pa.array(vecs, pa.list_(pa.float32()))
+        )
+
+
+class JpegTranscode:
+    """Transcode stored image bytes to REAL baseline T.81 JPEG + PSNR gate.
+
+    decode stored (png / stand-in jpeg) → encode real JPEG (quality/
+    subsample fixed per actor) → decode the real bitstream → PSNR vs the
+    stored-decoded pixels. Emits ``jpeg_bytes_real`` plus ``psnr_db`` and
+    the north-rule conformance flag ``psnr_ok`` (>= 40 dB for lossy
+    output). Encoder/decoder setup (Huffman code tables) is module-level
+    one-time work; the class still rides an actor pool so a libjpeg-backed
+    build slots in unchanged.
+    """
+
+    def __init__(self, bytes_col: str = "bytes", quality: int = 100, subsample: bool = False):
+        from ..functions.jpegcodec import decode_jpeg, encode_jpeg
+
+        self.bytes_col = bytes_col
+        self.quality = quality
+        self.subsample = subsample
+        self._enc = encode_jpeg
+        self._dec = decode_jpeg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.imagecodec import psnr
+
+        blobs = batch.column(self.bytes_col).to_pylist()
+        out_bytes, out_psnr, out_ok = [], [], []
+        for blob in blobs:
+            if sniff_format(blob) not in ("png", "jpeg"):
+                out_bytes.append(None)
+                out_psnr.append(None)
+                out_ok.append(None)
+                continue
+            src = decode_image(blob)
+            real = self._enc(src, quality=self.quality, subsample=self.subsample)
+            back = self._dec(real)
+            db = float(psnr(src, back))
+            out_bytes.append(real)
+            out_psnr.append(db)
+            out_ok.append(db >= 40.0)
+        return (
+            batch.append_column("jpeg_bytes_real", pa.array(out_bytes, pa.binary()))
+            .append_column("psnr_db", pa.array(out_psnr, pa.float64()))
+            .append_column("psnr_ok", pa.array(out_ok, pa.bool_()))
         )
 
 
