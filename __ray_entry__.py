@@ -1526,6 +1526,188 @@ FROM events GROUP BY event_type
 """
 
 
+def _q_doc_freq(sf_dir: str) -> pa.Table:
+    """Corpus vocabulary (token, doc_freq, total_tf) — thin caller over
+    spider_ray.pipelines.textops.doc_frequency (per-batch Counter combiner
+    → groupby sum; the exchange carries vocab-sized partials, never token
+    occurrences)."""
+    _ctx()
+    from spider_ray.pipelines.textops import doc_frequency
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return _collect(doc_frequency(ds)).sort_by("token")
+
+
+_SQL_DOC_FREQ = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+)
+SELECT token,
+       count(DISTINCT doc_id)::BIGINT AS doc_freq,
+       count(*)::BIGINT AS total_tf
+FROM toks GROUP BY token ORDER BY token
+"""
+
+
+def _q_value_quantiles(sf_dir: str) -> pa.Table:
+    """Exact per-group discrete quantiles — thin caller over
+    spider_ray.pipelines.events.exact_quantiles (inverted-CDF: returns
+    actual data values, bit-identical to SQL quantile_disc)."""
+    _ctx()
+    from spider_ray.pipelines.events import exact_quantiles
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    out = exact_quantiles(ds, "event_type", "value").to_pandas()
+    out = out.sort_values("event_type")
+    cols = {"event_type": pa.array(out["event_type"], pa.string())}
+    for c in ("q25", "q50", "q75", "q95", "q99"):
+        cols[c] = pa.array(out[c].astype("float64"))
+    return pa.table(cols)
+
+
+_SQL_VALUE_QUANTILES = """
+SELECT event_type,
+       quantile_disc(value, 0.25) AS q25,
+       quantile_disc(value, 0.50) AS q50,
+       quantile_disc(value, 0.75) AS q75,
+       quantile_disc(value, 0.95) AS q95,
+       quantile_disc(value, 0.99) AS q99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def _q_stratified_sample(sf_dir: str) -> pa.Table:
+    """Deterministic k-per-group sample — thin caller over
+    spider_ray.pipelines.events.stratified_sample (smallest-md5(id) per
+    group; per-batch local-k combiner bounds the exchange)."""
+    _ctx()
+    from spider_ray.pipelines.events import stratified_sample
+
+    ds = _read(sf_dir, "events", columns=["event_type", "event_id"])
+    out = stratified_sample(ds, "event_type", "event_id", k=5)
+    return _collect(out).sort_by([("event_type", "ascending"), ("event_id", "ascending")])
+
+
+_SQL_STRATIFIED_SAMPLE = """
+SELECT event_type, event_id FROM events
+QUALIFY row_number() OVER (
+    PARTITION BY event_type
+    ORDER BY md5(event_id::VARCHAR), event_id
+) <= 5
+ORDER BY event_type, event_id
+"""
+
+
+def _q_pagerank(sf_dir: str) -> pa.Table:
+    """Fixed-5-iteration PageRank over the fixture web's link graph
+    (page i → (2i+1)%n, (3i+7)%n, (5i+3)%n — the same closed form the
+    crawl-order oracle walks). Thin caller over
+    spider_ray.pipelines.graph.pagerank: ranks live as a hash-partitioned
+    Dataset; each superstep is one bucketed edges⋈ranks join plus one
+    groupby-sum — never a driver-side graph. Ranks ship as integer
+    parts-per-billion (the repo's cents trick) so order-dependent float
+    summation can't flip the value hash."""
+    _ctx()
+    import numpy as np
+
+    from spider_ray.pipelines.graph import dedup_edges, pagerank
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        dst = np.stack(
+            [(2 * ids + 1) % n, (3 * ids + 7) % n, (5 * ids + 3) % n], axis=1
+        ).reshape(-1)
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    edges = dedup_edges(docs.map_batches(to_edges, batch_format="pyarrow"))
+    nodes = docs.map_batches(
+        lambda b: pa.table({"node": b.column("doc_id")}), batch_format="pyarrow"
+    )
+    ranks = pagerank(edges, nodes, n_nodes=n, n_iter=5)
+
+    def to_ppb(batch: pa.Table) -> pa.Table:
+        r = batch.column("rank").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                # pandas null-filling in the bucketed join upcasts int keys
+                # to double — restore the driver-facing int64 node id
+                "node": batch.column("node").cast(pa.int64()),
+                "rank_ppb": pa.array(
+                    np.round(r * 1e9).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return _collect(ranks.map_batches(to_ppb, batch_format="pyarrow")).sort_by("node")
+
+
+_SQL_PAGERANK = """
+WITH params AS (SELECT count(*)::BIGINT AS n FROM documents),
+raw_edges AS (
+  SELECT d.doc_id AS src,
+         unnest([(2*d.doc_id+1) % p.n, (3*d.doc_id+7) % p.n,
+                 (5*d.doc_id+3) % p.n]) AS dst
+  FROM documents d, params p
+),
+edges AS (SELECT DISTINCT src, dst FROM raw_edges),
+deg AS (SELECT src, count(*)::DOUBLE AS deg FROM edges GROUP BY src),
+r0 AS (SELECT d.doc_id AS node, 1.0 / p.n AS rank FROM documents d, params p),
+r1 AS (
+  SELECT d.doc_id AS node,
+         0.15 / p.n + 0.85 * COALESCE(SUM(r.rank / g.deg), 0) AS rank
+  FROM documents d CROSS JOIN params p
+  LEFT JOIN edges e ON e.dst = d.doc_id
+  LEFT JOIN r0 r ON r.node = e.src
+  LEFT JOIN deg g ON g.src = e.src
+  GROUP BY d.doc_id, p.n
+),
+r2 AS (
+  SELECT d.doc_id AS node,
+         0.15 / p.n + 0.85 * COALESCE(SUM(r.rank / g.deg), 0) AS rank
+  FROM documents d CROSS JOIN params p
+  LEFT JOIN edges e ON e.dst = d.doc_id
+  LEFT JOIN r1 r ON r.node = e.src
+  LEFT JOIN deg g ON g.src = e.src
+  GROUP BY d.doc_id, p.n
+),
+r3 AS (
+  SELECT d.doc_id AS node,
+         0.15 / p.n + 0.85 * COALESCE(SUM(r.rank / g.deg), 0) AS rank
+  FROM documents d CROSS JOIN params p
+  LEFT JOIN edges e ON e.dst = d.doc_id
+  LEFT JOIN r2 r ON r.node = e.src
+  LEFT JOIN deg g ON g.src = e.src
+  GROUP BY d.doc_id, p.n
+),
+r4 AS (
+  SELECT d.doc_id AS node,
+         0.15 / p.n + 0.85 * COALESCE(SUM(r.rank / g.deg), 0) AS rank
+  FROM documents d CROSS JOIN params p
+  LEFT JOIN edges e ON e.dst = d.doc_id
+  LEFT JOIN r3 r ON r.node = e.src
+  LEFT JOIN deg g ON g.src = e.src
+  GROUP BY d.doc_id, p.n
+),
+r5 AS (
+  SELECT d.doc_id AS node,
+         0.15 / p.n + 0.85 * COALESCE(SUM(r.rank / g.deg), 0) AS rank
+  FROM documents d CROSS JOIN params p
+  LEFT JOIN edges e ON e.dst = d.doc_id
+  LEFT JOIN r4 r ON r.node = e.src
+  LEFT JOIN deg g ON g.src = e.src
+  GROUP BY d.doc_id, p.n
+)
+SELECT node, CAST(round(rank * 1e9) AS BIGINT) AS rank_ppb
+FROM r5 ORDER BY node
+"""
+
+
 def _q_events_asof_join(sf_dir: str) -> pa.Table:
     """Point-in-time-correct as-of join: every event picks the latest
     snapshot (every-10th event, max-cents per (user, ts) to break ties
@@ -1823,6 +2005,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_sources": _q_distinct_sources,
         "hash_sample": _q_hash_sample,
         "events_topk_users": _q_events_topk_users,
+        "doc_freq": _q_doc_freq,
+        "value_quantiles": _q_value_quantiles,
+        "stratified_sample": _q_stratified_sample,
+        "pagerank": _q_pagerank,
         "events_asof_join": _q_events_asof_join,
         "events_range_join": _q_events_range_join,
         "approx_distinct_users": _q_approx_distinct_users,
@@ -1868,6 +2054,10 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": _SQL_EVENTS_ASOF_JOIN,
         "events_range_join": _SQL_EVENTS_RANGE_JOIN,
         "approx_distinct_users": _SQL_APPROX_DISTINCT_USERS,
+        "doc_freq": _SQL_DOC_FREQ,
+        "value_quantiles": _SQL_VALUE_QUANTILES,
+        "stratified_sample": _SQL_STRATIFIED_SAMPLE,
+        "pagerank": _SQL_PAGERANK,
         "broadcast_revenue": _SQL_BROADCAST_REVENUE,
         "partitioned_join": _SQL_PARTITIONED_JOIN,
         "lineitem_agg": _SQL_LINEITEM_AGG,

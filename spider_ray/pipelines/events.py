@@ -116,6 +116,71 @@ def hash_sample_mask(values, buckets: int = 16, keep_bucket: int = 0) -> list[bo
     ]
 
 
+def exact_quantiles(
+    ds,
+    group_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95, 0.99),
+    method: str = "inverted_cdf",
+):
+    """EXACT per-group quantiles. ``method="inverted_cdf"`` returns actual
+    data values — bit-identical to SQL quantile_disc (verified against
+    DuckDB across sizes/qs); ``method="linear"`` is the quantile_cont
+    interpolation contract (equal up to last-ulp interpolation order).
+    One hash exchange on the group key; each group's values are sorted
+    once in the owning task (numpy). Exactness requires a group's values
+    to fit one worker — for hot groups at 100 TB use the mergeable
+    KMV/histogram sketch path (pipelines.sketches) instead.
+    Output: (group, q25, q50, ... per requested quantile)."""
+
+    def per_group(group: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(group[value_col].to_numpy(dtype=np.float64))
+        row: dict = {group_col: [group[group_col].iloc[0]]}
+        for q in qs:
+            row[f"q{int(round(q * 100))}"] = [float(np.quantile(v, q, method=method))]
+        return pd.DataFrame(row)
+
+    return ds.groupby(group_col).map_groups(per_group, batch_format="pandas")
+
+
+def stratified_sample(
+    ds,
+    group_col: str,
+    id_col: str,
+    k: int,
+    keep_cols: list[str] | None = None,
+):
+    """Deterministic k-per-group sample: the k ids with the smallest
+    md5(id) per group (id asc tie-break) — a uniform-without-replacement
+    draw that is reproducible across engines (SQL: row_number() over
+    md5 order). Combiner shape: each batch pre-selects its local k per
+    group, so the exchange carries ≤ k × batches rows per group, never
+    the whole group."""
+    cols = keep_cols or [group_col, id_col]
+
+    def local_k(batch: pa.Table) -> pa.Table:
+        df = batch.select(cols).to_pandas()
+        df["_h"] = [
+            hashlib.md5(str(v).encode()).hexdigest() for v in df[id_col]
+        ]
+        df = (
+            df.sort_values(["_h", id_col], kind="mergesort")
+            .groupby(group_col, as_index=False, sort=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final_k(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["_h", id_col], kind="mergesort").head(k)
+        return g[cols]
+
+    return (
+        ds.map_batches(local_k, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(final_k, batch_format="pandas")
+    )
+
+
 def hash_sample(ds, key_col: str, buckets: int = 16, keep_bucket: int = 0):
     """Keep rows whose md5(key) lands in one of ``buckets`` key-space
     slices — reproducible sampling (same rows on every engine/run)."""

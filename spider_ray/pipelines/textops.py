@@ -62,6 +62,63 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("fingerprint", pa.array(fps, pa.int64()))
 
 
+_VOCAB_RE = None  # compiled lazily (once per worker import)
+
+
+def vocab_partial_batch(
+    batch: pa.Table, text_col: str = "text", min_token_len: int = 1
+) -> pa.Table:
+    """Per-batch partial vocabulary: (token, tf, df) counted WITHIN the
+    batch. The combiner half of doc_frequency — the downstream groupby
+    shuffles one row per distinct (token, batch), not one per occurrence
+    (generalizes the reference's distinct-link aggregation,
+    src/findDocumentLinks.ts:24-27, to corpus statistics)."""
+    global _VOCAB_RE
+    if _VOCAB_RE is None:
+        import re
+
+        _VOCAB_RE = re.compile(r"[a-z0-9]+")
+    from collections import Counter
+
+    tf: Counter = Counter()
+    df: Counter = Counter()
+    for t in batch.column(text_col).to_pylist():
+        toks = _VOCAB_RE.findall(t.lower()) if t else []
+        if min_token_len > 1:
+            toks = [x for x in toks if len(x) >= min_token_len]
+        tf.update(toks)
+        df.update(set(toks))
+    tokens = sorted(tf)
+    return pa.table(
+        {
+            "token": pa.array(tokens, pa.string()),
+            "tf": pa.array([tf[x] for x in tokens], pa.int64()),
+            "df": pa.array([df[x] for x in tokens], pa.int64()),
+        }
+    )
+
+
+def doc_frequency(ds, text_col: str = "text", min_token_len: int = 1):
+    """Corpus vocabulary with document frequency and total term frequency.
+
+    map_batches combiner (per-batch Counter → one partial row per distinct
+    token) → ``groupby(token).sum`` — the pre-aggregate-then-small-shuffle
+    shape: the exchange carries O(vocab × batches) rows, never
+    O(occurrences). Exact (not sketched): df is additive across batches
+    only for the *within-batch distinct* count, which is what the partial
+    emits. Output: (token, doc_freq, total_tf)."""
+    partial = ds.map_batches(
+        lambda b: vocab_partial_batch(b, text_col, min_token_len),
+        batch_format="pyarrow",
+    )
+    agg = partial.groupby("token").sum(["df", "tf"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["token", "doc_freq", "total_tf"])
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
 def analyze(ds, text_col: str = "text"):
     """All analyses in one pass (single map_batches — one traversal)."""
     def all_batch(batch: pa.Table) -> pa.Table:

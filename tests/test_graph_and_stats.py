@@ -1,0 +1,112 @@
+"""Unit tests for graph.pagerank, textops.doc_frequency,
+events.exact_quantiles, events.stratified_sample (oracle parity for each
+is in test_oracle_parity via the driver contract)."""
+
+import hashlib
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def _ds(table):
+    return ray.data.from_arrow(table)
+
+
+def test_pagerank_matches_power_iteration(ray_session):
+    from spider_ray.pipelines.graph import dedup_edges, pagerank
+
+    rng = np.random.default_rng(3)
+    n = 40
+    src = np.repeat(np.arange(n), 3)
+    dst = rng.integers(0, n, size=3 * n)
+    edges_tbl = pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    nodes_tbl = pa.table({"node": pa.array(np.arange(n), pa.int64())})
+
+    ranks = (
+        pagerank(dedup_edges(_ds(edges_tbl)), _ds(nodes_tbl), n_nodes=n, n_iter=5)
+        .to_pandas()
+        .sort_values("node")
+    )
+
+    # dense power iteration reference
+    E = set(zip(src.tolist(), dst.tolist()))
+    deg = Counter(s for s, _ in E)
+    r = np.full(n, 1.0 / n)
+    for _ in range(5):
+        nxt = np.full(n, 0.15 / n)
+        for s, d in E:
+            nxt[d] += 0.85 * r[s] / deg[s]
+        r = nxt
+    np.testing.assert_allclose(ranks["rank"].to_numpy(), r, rtol=1e-12)
+    # mass conservation: no dangling nodes in this graph → sums to 1
+    assert abs(ranks["rank"].sum() - 1.0) < 1e-9
+
+
+def test_doc_frequency_matches_counter(ray_session):
+    from spider_ray.pipelines.textops import doc_frequency
+
+    texts = [
+        "the cat sat", "the the dog", "", "cat! cat? dog-9", "UPPER upper",
+    ] * 7  # several batches' worth when batch size is small
+    tbl = pa.table({"text": pa.array(texts, pa.string())})
+    out = doc_frequency(_ds(tbl)).to_pandas().set_index("token")
+
+    import re
+
+    tf, df = Counter(), Counter()
+    for t in texts:
+        toks = re.findall(r"[a-z0-9]+", t.lower())
+        tf.update(toks)
+        df.update(set(toks))
+    assert set(out.index) == set(tf)
+    for tok in tf:
+        assert out.loc[tok, "total_tf"] == tf[tok], tok
+        assert out.loc[tok, "doc_freq"] == df[tok], tok
+
+
+def test_exact_quantiles_inverted_cdf(ray_session):
+    from spider_ray.pipelines.events import exact_quantiles
+
+    rng = np.random.default_rng(11)
+    vals = rng.normal(0, 5, 501)
+    tbl = pa.table(
+        {
+            "g": pa.array(["a"] * 300 + ["b"] * 201, pa.string()),
+            "v": pa.array(vals, pa.float64()),
+        }
+    )
+    out = (
+        exact_quantiles(_ds(tbl), "g", "v", qs=(0.5, 0.95))
+        .to_pandas()
+        .set_index("g")
+    )
+    for g, lo, hi in (("a", 0, 300), ("b", 300, 501)):
+        seg = vals[lo:hi]
+        assert out.loc[g, "q50"] == np.quantile(seg, 0.5, method="inverted_cdf")
+        assert out.loc[g, "q95"] == np.quantile(seg, 0.95, method="inverted_cdf")
+        # discrete quantiles are actual data values
+        assert out.loc[g, "q50"] in seg
+
+
+def test_stratified_sample_deterministic_k_per_group(ray_session):
+    from spider_ray.pipelines.events import stratified_sample
+
+    tbl = pa.table(
+        {
+            "g": pa.array([f"g{i % 3}" for i in range(200)], pa.string()),
+            "id": pa.array(range(200), pa.int64()),
+        }
+    )
+    a = stratified_sample(_ds(tbl), "g", "id", k=4).to_pandas()
+    b = stratified_sample(_ds(tbl), "g", "id", k=4).to_pandas()
+    a = a.sort_values(["g", "id"]).reset_index(drop=True)
+    b = b.sort_values(["g", "id"]).reset_index(drop=True)
+    assert a.equals(b)
+    assert (a.groupby("g").size() == 4).all()
+    # matches the md5-order definition exactly
+    for g, grp in a.groupby("g"):
+        ids = [i for i in range(200) if f"g{i % 3}" == g]
+        expect = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:4]
+        assert sorted(grp["id"].tolist()) == sorted(expect)
