@@ -1708,6 +1708,96 @@ FROM r5 ORDER BY node
 """
 
 
+def _q_connected_components(sf_dir: str) -> pa.Table:
+    """Connected components by distributed per-partition union-find
+    contraction (pipelines.graph.connected_components): a deterministic
+    multi-component graph — chain edges (i, i+13) kept only within blocks
+    of 100 ids — so components are the residue chains of each block.
+    Oracle: recursive-CTE min-label closure over the same closed-form
+    edge set."""
+    _ctx()
+    import numpy as np
+
+    from spider_ray.pipelines.graph import connected_components
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = ((ids + 13) < n) & ((ids // 100) == ((ids + 13) // 100))
+        src = ids[m]
+        return pa.table(
+            {"src": pa.array(src), "dst": pa.array(src + 13)}
+        )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    edges = docs.map_batches(to_edges, batch_format="pyarrow")
+    nodes = docs.map_batches(
+        lambda b: pa.table({"node": b.column("doc_id")}), batch_format="pyarrow"
+    )
+    out = connected_components(edges, nodes)
+    return _collect(out).sort_by("node")
+
+
+_SQL_CONNECTED_COMPONENTS = """
+WITH RECURSIVE params AS (SELECT count(*)::BIGINT AS n FROM documents),
+fwd AS (
+  SELECT d.doc_id AS src, d.doc_id + 13 AS dst
+  FROM documents d, params p
+  WHERE d.doc_id + 13 < p.n AND (d.doc_id // 100) = ((d.doc_id + 13) // 100)
+),
+edges AS (SELECT src, dst FROM fwd UNION SELECT dst AS src, src AS dst FROM fwd),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node, min(label)::BIGINT AS component
+FROM reach GROUP BY node ORDER BY node
+"""
+
+
+def _q_tfidf_topk(sf_dir: str) -> pa.Table:
+    """Top-3 tf·idf terms per document (pipelines.textops.tfidf_topk):
+    integer-exact score (tf × n × 1e6 // df) so ranking is bit-identical
+    across engines; the doc-frequency table is computed distributed then
+    broadcast (ray.put) into every scoring batch."""
+    _ctx()
+    from spider_ray.pipelines.textops import doc_frequency, tfidf_topk
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    df_tbl = _collect(doc_frequency(docs))
+    out = tfidf_topk(docs, n_docs=n, df_table=df_tbl, k=3)
+    return _collect(out).sort_by(
+        [("doc_id", "ascending"), ("rank", "ascending")]
+    )
+
+
+_SQL_TFIDF_TOPK = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, token),
+df AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY token),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.token, t.tf,
+         (t.tf * nn.n * 1000000) // d.df AS score
+  FROM tf t JOIN df d USING (token) CROSS JOIN nn
+)
+SELECT doc_id, token, tf, score,
+       (row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, token ASC
+        ))::BIGINT AS rank
+FROM scored
+QUALIFY rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
 def _q_events_asof_join(sf_dir: str) -> pa.Table:
     """Point-in-time-correct as-of join: every event picks the latest
     snapshot (every-10th event, max-cents per (user, ts) to break ties
@@ -2009,6 +2099,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": _q_value_quantiles,
         "stratified_sample": _q_stratified_sample,
         "pagerank": _q_pagerank,
+        "connected_components": _q_connected_components,
+        "tfidf_topk": _q_tfidf_topk,
         "events_asof_join": _q_events_asof_join,
         "events_range_join": _q_events_range_join,
         "approx_distinct_users": _q_approx_distinct_users,
@@ -2058,6 +2150,8 @@ def oracle_sql() -> dict[str, str]:
         "value_quantiles": _SQL_VALUE_QUANTILES,
         "stratified_sample": _SQL_STRATIFIED_SAMPLE,
         "pagerank": _SQL_PAGERANK,
+        "connected_components": _SQL_CONNECTED_COMPONENTS,
+        "tfidf_topk": _SQL_TFIDF_TOPK,
         "broadcast_revenue": _SQL_BROADCAST_REVENUE,
         "partitioned_join": _SQL_PARTITIONED_JOIN,
         "lineitem_agg": _SQL_LINEITEM_AGG,

@@ -39,6 +39,97 @@ def out_degrees(edges_ds):
     )
 
 
+def symmetrize(edges_ds):
+    """Undirected closure: edges ∪ reversed(edges), distinct."""
+    rev = edges_ds.map_batches(
+        lambda t: pa.table({"src": t.column("dst"), "dst": t.column("src")}),
+        batch_format="pyarrow",
+    )
+    return dedup_edges(edges_ds.union(rev))
+
+
+def _uf_contract(batch: pa.Table) -> pa.Table:
+    """Contract one edge partition with union-find (union-by-min + path
+    compression): emit one (src=node, dst=partition-local component min)
+    row per distinct node. The output is itself an edge set with the same
+    connected components as the input — the invariant the filtering
+    algorithm relies on — and its size is bounded by the number of
+    distinct nodes in the partition, so every round strictly shrinks the
+    problem toward O(V)."""
+    src = batch.column("src").to_pylist()
+    dst = batch.column("dst").to_pylist()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(src, dst):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    nodes = sorted(set(src) | set(dst))
+    return pa.table(
+        {
+            "src": pa.array(nodes, pa.int64()),
+            "dst": pa.array([find(x) for x in nodes], pa.int64()),
+        }
+    )
+
+
+def connected_components(edges_ds, nodes_ds, contraction: int = 4):
+    """Connected components by iterated per-partition union-find
+    contraction (the MapReduce "filtering" algorithm, Kiveris et al.,
+    *Connected Components in MapReduce and Beyond*): each round runs
+    union-find inside every edge partition (``_uf_contract`` — a single
+    ``map_batches``, no join, no groupby) emitting one (node → local min)
+    row per distinct node, then repartitions ``contraction``× fewer
+    partitions and repeats until one partition remains. Each output row
+    set provably has the same components as its input (every input edge
+    (a,b) is replaced by the path a→root←b), so the final single-partition
+    contraction yields the exact global min label per node.
+
+    Cost: round 1 touches all edges (O(E) spread over all partitions);
+    every later round is O(V) rows total, log_contraction(B) rounds —
+    two-ish passes in practice, vs diameter-many join+groupby supersteps
+    for hash-min label propagation. Edges need not be symmetric or
+    deduplicated (union-find is orientation- and multiplicity-blind).
+    The last round holds one (node, min) row per node in a single task —
+    fine to ~10^8 nodes per worker; beyond that, stop halving at the
+    memory bound and switch to hash-min propagation for the (rare)
+    still-split components. Output: (node, component = min node id)."""
+    self_rows = nodes_ds.map_batches(
+        lambda t: pa.table({"src": t.column("node"), "dst": t.column("node")}),
+        batch_format="pyarrow",
+    )
+    forest = (
+        edges_ds.union(self_rows)
+        .map_batches(_uf_contract, batch_format="pyarrow")
+        .materialize()
+    )
+    nb = forest.num_blocks()
+    while nb > 1:
+        nb = max(1, nb // contraction)
+        forest = (
+            forest.repartition(nb)
+            .map_batches(_uf_contract, batch_format="pyarrow")
+            .materialize()
+        )
+    return forest.map_batches(
+        lambda t: pa.table(
+            {"node": t.column("src"), "component": t.column("dst")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def pagerank(
     edges_ds,
     nodes_ds,

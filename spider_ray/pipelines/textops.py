@@ -119,6 +119,77 @@ def doc_frequency(ds, text_col: str = "text", min_token_len: int = 1):
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
+def tfidf_topk(
+    ds,
+    n_docs: int,
+    df_table,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_token_len: int = 1,
+):
+    """Top-k terms per document by an exact integer tf·idf rank.
+
+    Score = ``(tf × n_docs × 1_000_000) // doc_freq`` — integer arithmetic
+    end to end, so the ranking is bit-identical across engines (float
+    ``tf·ln(n/df)`` can flip near-ties on last-ulp log differences).
+    ``df_table`` is the (token, doc_freq) output of :func:`doc_frequency`
+    collected small and BROADCAST into every batch (vocab ≪ corpus — the
+    classic small-side pattern); per-document tf is computed entirely
+    within the owning batch, so the only exchange is the upstream
+    doc_frequency groupby. Output: (doc_id, token, tf, score, rank≤k)."""
+    global _VOCAB_RE
+    if _VOCAB_RE is None:
+        import re
+
+        _VOCAB_RE = re.compile(r"[a-z0-9]+")
+    import ray as _ray
+
+    df_map = dict(
+        zip(
+            df_table.column("token").to_pylist(),
+            df_table.column("doc_freq").to_pylist(),
+        )
+    )
+    df_ref = _ray.put(df_map)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        dfm = _ray.get(df_ref)
+        ids, toks, tfs, scores, ranks = [], [], [], [], []
+        texts = batch.column(text_col).to_pylist()
+        doc_ids = batch.column(id_col).to_pylist()
+        for doc_id, t in zip(doc_ids, texts):
+            words = _VOCAB_RE.findall(t.lower()) if t else []
+            if min_token_len > 1:
+                words = [w for w in words if len(w) >= min_token_len]
+            tf = Counter(words)
+            scored = sorted(
+                (
+                    (-(c * n_docs * 1_000_000 // dfm[w]), w, c)
+                    for w, c in tf.items()
+                ),
+            )[:k]
+            for r, (neg, w, c) in enumerate(scored, 1):
+                ids.append(doc_id)
+                toks.append(w)
+                tfs.append(c)
+                scores.append(-neg)
+                ranks.append(r)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "token": pa.array(toks, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+                "score": pa.array(scores, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
 def analyze(ds, text_col: str = "text"):
     """All analyses in one pass (single map_batches — one traversal)."""
     def all_batch(batch: pa.Table) -> pa.Table:

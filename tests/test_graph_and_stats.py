@@ -110,3 +110,84 @@ def test_stratified_sample_deterministic_k_per_group(ray_session):
         ids = [i for i in range(200) if f"g{i % 3}" == g]
         expect = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:4]
         assert sorted(grp["id"].tolist()) == sorted(expect)
+
+
+def test_connected_components_random_graph(ray_session):
+    from spider_ray.pipelines.graph import connected_components
+
+    # random forest of chains + isolated nodes; reference = pure-python DSU
+    rng = np.random.default_rng(11)
+    n = 300
+    src = rng.integers(0, n, size=150)
+    dst = rng.integers(0, n, size=150)
+    edges_tbl = pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    nodes_tbl = pa.table({"node": pa.array(np.arange(n), pa.int64())})
+
+    out = (
+        connected_components(
+            _ds(edges_tbl).repartition(6), _ds(nodes_tbl), contraction=2
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(src.tolist(), dst.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical min-label per component
+    members: dict[int, list[int]] = {}
+    for i in range(n):
+        members.setdefault(find(i), []).append(i)
+    expect = {i: min(members[find(i)]) for i in range(n)}
+    assert out["node"].tolist() == list(range(n))
+    assert out["component"].tolist() == [expect[i] for i in range(n)]
+
+
+def test_tfidf_topk_matches_bruteforce(ray_session):
+    import re
+    from spider_ray.pipelines.textops import doc_frequency, tfidf_topk
+
+    texts = [
+        "apple banana apple cherry",
+        "banana banana date",
+        "cherry date elderberry fig grape",
+        "apple apple apple",
+        "",
+    ]
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    df_tbl = pa.concat_tables(ray.get(doc_frequency(_ds(tbl)).to_arrow_refs()))
+    out = (
+        tfidf_topk(_ds(tbl), n_docs=n, df_table=df_tbl, k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+    df = Counter()
+    for t in texts:
+        df.update(set(re.findall(r"[a-z0-9]+", t.lower())))
+    for doc_id, t in enumerate(texts):
+        tf = Counter(re.findall(r"[a-z0-9]+", t.lower()))
+        scored = sorted(
+            ((-(c * n * 1_000_000 // df[w]), w, c) for w, c in tf.items())
+        )[:2]
+        got = out[out["doc_id"] == doc_id]
+        assert got["token"].tolist() == [w for _, w, _ in scored]
+        assert got["score"].tolist() == [-s for s, _, _ in scored]
+        assert got["rank"].tolist() == list(range(1, len(scored) + 1))
