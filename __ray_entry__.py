@@ -1798,6 +1798,124 @@ ORDER BY doc_id, rank
 """
 
 
+def _q_semi_join_orders(sf_dir: str) -> pa.Table:
+    """Customers that have ≥1 order (relational.semi_anti_join): orders
+    reduces to distinct custkeys (per-batch unique combiner + one small
+    groupby), broadcast once; customer batches filter with pc.is_in —
+    the fact side never shuffles. Oracle: WHERE EXISTS."""
+    _ctx()
+    from spider_ray.pipelines.relational import semi_anti_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    out = semi_anti_join(cust, orders, on="c_custkey", anti=False, right_on="o_custkey")
+    return _collect(
+        out.map_batches(
+            lambda t: t.rename_columns(["c_custkey", "c_name", "c_mktsegment"]),
+            batch_format="pyarrow",
+        )
+    ).sort_by("c_custkey")
+
+
+_SQL_SEMI_JOIN_ORDERS = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def _q_anti_join_orders(sf_dir: str) -> pa.Table:
+    """Customers with NO finished ('F') order — same broadcast
+    distinct-key probe with the mask inverted (NOT EXISTS semantics:
+    NULL keys kept). The right side pre-filters on o_orderstatus inside
+    the batch (pc.equal) so only matching keys ever reach the distinct
+    combiner."""
+    _ctx()
+    import pyarrow.compute as pc
+
+    from spider_ray.pipelines.relational import semi_anti_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"]).map_batches(
+        lambda t: t.filter(pc.equal(t.column("o_orderstatus"), "F")).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    out = semi_anti_join(cust, orders, on="c_custkey", anti=True, right_on="o_custkey")
+    return _collect(
+        out.map_batches(
+            lambda t: t.rename_columns(["c_custkey", "c_name", "c_mktsegment"]),
+            batch_format="pyarrow",
+        )
+    ).sort_by("c_custkey")
+
+
+_SQL_ANTI_JOIN_ORDERS = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+)
+ORDER BY c_custkey
+"""
+
+
+def _q_heavy_hitters(sf_dir: str) -> pa.Table:
+    """EXACT frequent event types (count > N/5) by the two-pass
+    Misra–Gries plan (pipelines.sketches.heavy_hitters): per-batch MG
+    summaries (≤ k+1 rows) give a candidate superset with a provable
+    error bound, then a broadcast-candidates exact count confirms.
+    Integer threshold arithmetic — bit-identical to the SQL HAVING."""
+    _ctx()
+    from spider_ray.pipelines.sketches import heavy_hitters
+
+    ev = _read(sf_dir, "events", columns=["event_type"])
+    out = heavy_hitters(ev, "event_type", num=1, den=5, k=16)
+    return out.rename_columns(["event_type", "cnt"])
+
+
+_SQL_HEAVY_HITTERS = """
+SELECT event_type, count(*)::BIGINT AS cnt
+FROM events
+GROUP BY event_type
+HAVING count(*) * 5 > (SELECT count(*) FROM events)
+ORDER BY event_type
+"""
+
+
+def _q_events_lag_diff(sf_dir: str) -> pa.Table:
+    """Per-user inter-event gap (pipelines.events.lag_diff): the window
+    function ts - LAG(ts) OVER (PARTITION BY user ORDER BY ts, id) as one
+    hash exchange + per-key vectorized sort-scan. First event per user →
+    -1 (COALESCE'd on both sides so the null survives the hash gate)."""
+    _ctx()
+    import pyarrow.compute as pc
+
+    from spider_ray.pipelines.events import lag_diff
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = _collect(lag_diff(ev))
+    filled = out.set_column(
+        out.column_names.index("delta_us"),
+        "delta_us",
+        pc.fill_null(out.column("delta_us"), -1),
+    )
+    return filled.sort_by("event_id")
+
+
+_SQL_EVENTS_LAG_DIFF = """
+SELECT event_id, user_id,
+       COALESCE(
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ), -1)::BIGINT AS delta_us
+FROM events ORDER BY event_id
+"""
+
+
 def _q_events_asof_join(sf_dir: str) -> pa.Table:
     """Point-in-time-correct as-of join: every event picks the latest
     snapshot (every-10th event, max-cents per (user, ts) to break ties
@@ -2101,6 +2219,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "connected_components": _q_connected_components,
         "tfidf_topk": _q_tfidf_topk,
+        "semi_join_orders": _q_semi_join_orders,
+        "anti_join_orders": _q_anti_join_orders,
+        "heavy_hitters": _q_heavy_hitters,
+        "events_lag_diff": _q_events_lag_diff,
         "events_asof_join": _q_events_asof_join,
         "events_range_join": _q_events_range_join,
         "approx_distinct_users": _q_approx_distinct_users,
@@ -2152,6 +2274,10 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _SQL_PAGERANK,
         "connected_components": _SQL_CONNECTED_COMPONENTS,
         "tfidf_topk": _SQL_TFIDF_TOPK,
+        "semi_join_orders": _SQL_SEMI_JOIN_ORDERS,
+        "anti_join_orders": _SQL_ANTI_JOIN_ORDERS,
+        "heavy_hitters": _SQL_HEAVY_HITTERS,
+        "events_lag_diff": _SQL_EVENTS_LAG_DIFF,
         "broadcast_revenue": _SQL_BROADCAST_REVENUE,
         "partitioned_join": _SQL_PARTITIONED_JOIN,
         "lineitem_agg": _SQL_LINEITEM_AGG,

@@ -41,7 +41,7 @@ def sessionize(
 
     def per_key(group: pd.DataFrame) -> pd.DataFrame:
         group = group.sort_values([ts_col, id_col], kind="mergesort")
-        ts = group[ts_col].astype("int64").to_numpy()
+        ts = group[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
         brk = np.zeros(len(ts), dtype=np.int64)
         if len(ts) > 1:
             brk[1:] = (np.diff(ts) > gap_us).astype(np.int64)
@@ -70,7 +70,7 @@ def sliding_window_counts(
 
     def per_key(group: pd.DataFrame) -> pd.DataFrame:
         group = group.sort_values([ts_col, id_col], kind="mergesort")
-        ts = group[ts_col].astype("int64").to_numpy()
+        ts = group[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
         starts = np.searchsorted(ts, ts - window_us, side="right")
         n_in_window = np.arange(len(ts)) - starts + 1
         return pd.DataFrame(
@@ -192,3 +192,46 @@ def hash_sample(ds, key_col: str, buckets: int = 16, keep_bucket: int = 0):
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def lag_diff(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+):
+    """Per-key LAG delta: for every row, microseconds since the previous
+    event of the same key (NULL for each key's first event) — the
+    window-function ``ts - LAG(ts) OVER (PARTITION BY key ORDER BY ts,
+    id)`` as one hash exchange + per-key vectorized sort-scan (same
+    partition-sort-scan shape as :func:`sessionize`; per-key history must
+    fit a worker, the standard window-partitioning assumption)."""
+
+    def per_key(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values([ts_col, id_col], kind="mergesort")
+        # unit-normalize: pandas materializes arrow timestamps as ns or us
+        # depending on the source; int64 µs either way
+        ts = group[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        delta = np.empty(len(ts), dtype=np.float64)
+        delta[0] = np.nan
+        if len(ts) > 1:
+            delta[1:] = np.diff(ts)
+        return pd.DataFrame(
+            {
+                id_col: group[id_col].to_numpy(),
+                key_col: group[key_col].to_numpy(),
+                "delta_us": delta,
+            }
+        )
+
+    out = ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                id_col: t.column(id_col),
+                key_col: t.column(key_col),
+                "delta_us": t.column("delta_us").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

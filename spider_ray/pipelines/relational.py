@@ -244,3 +244,38 @@ def preagg_sum(ds, keys: list[str], sum_cols: list[str], count_alias: str | None
     if count_alias:
         aggs.append(Sum(count_alias, alias_name=count_alias))
     return partials.groupby(keys).aggregate(*aggs)
+
+
+def semi_anti_join(ds, right_ds, on: str, anti: bool = False, right_on: str | None = None):
+    """Semi join (EXISTS filter) or anti join (NOT EXISTS) of ``ds``
+    against the distinct keys of ``right_ds``.
+
+    The right side reduces to distinct keys with a per-batch ``unique``
+    combiner before one small groupby exchange (only unique keys move),
+    then the key column is broadcast once via ``ray.put``; each left
+    batch filters with ``pc.is_in`` — the fact side never shuffles.
+    NULL keys follow EXISTS semantics (never match: dropped by semi,
+    kept by anti). Scale bound: the distinct-key column must fit the
+    object store (10^9 int64 keys ≈ 8 GB); beyond that, run the
+    bucketed tagged-union exchange (bucketed_hash_join shape) with the
+    same per-bucket ``is_in`` probe."""
+    import pyarrow.compute as pc
+
+    r_on = right_on or on
+    distinct = (
+        right_ds.map_batches(
+            lambda t: pa.table({r_on: t.column(r_on).unique()}),
+            batch_format="pyarrow",
+        )
+        .groupby(r_on)
+        .count()
+    )
+    key_tbl = pa.concat_tables(ray.get(distinct.to_arrow_refs()))
+    ref = ray.put(key_tbl.column(r_on).combine_chunks())
+
+    def filt(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        mask = pc.fill_null(pc.is_in(batch.column(on), value_set=keys), False)
+        return batch.filter(pc.invert(mask) if anti else mask)
+
+    return ds.map_batches(filt, batch_format="pyarrow")

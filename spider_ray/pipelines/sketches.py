@@ -113,3 +113,107 @@ def _ray_get(ref):
     import ray
 
     return ray.get(ref)
+
+
+def mg_partial(batch: pa.Table, col: str, k: int) -> pa.Table:
+    """Misra–Gries summary of one batch: exact in-batch counts compressed
+    to the k heaviest items by subtracting the (k+1)-th largest count
+    (the canonical MG decrement — per-item undercount ≤ the recorded
+    deduction). Emits (item, cnt, ded) rows plus one NULL marker row
+    carrying (batch_rows, batch_deduction) so a single pass yields N and
+    the global error bound D = Σ deductions."""
+    col_arr = batch.column(col)
+    vc = col_arr.to_pandas().value_counts()
+    ded = 0
+    if len(vc) > k:
+        ded = int(vc.iloc[k])  # (k+1)-th largest
+        vc = vc.iloc[:k] - ded
+        vc = vc[vc > 0]
+    items = pa.array(list(vc.index), type=col_arr.type)
+    return pa.table(
+        {
+            col: pa.concat_arrays([items, pa.nulls(1, col_arr.type)]),
+            "cnt": pa.array([*map(int, vc.to_list()), batch.num_rows], pa.int64()),
+            "ded": pa.array([0] * len(vc) + [ded], pa.int64()),
+        }
+    )
+
+
+def heavy_hitters(ds, col: str, num: int = 1, den: int = 5, k: int | None = None):
+    """EXACT frequent items: values with count·den > N·num (frequency
+    above num/den), via the mergeable-summaries two-pass plan (Agarwal
+    et al., *Mergeable Summaries*):
+
+    pass 1 — per-batch Misra–Gries summaries (≤ k+1 rows each) merge on
+    the driver (O(k·batches) rows — MBs at 100 TB, never the column);
+    any item with true count > N·num/den satisfies
+    merged + D > N·num/den, so that filter yields a candidate SUPERSET.
+    pass 2 — candidates broadcast via ``ray.put``; each batch counts only
+    candidate rows (vectorized ``is_in`` + value_counts) and a tiny
+    groupby-sum confirms exact counts, keeping count·den > N·num.
+
+    Integer arithmetic end to end — no float threshold wobble. Returns
+    (col, cnt) pyarrow Table. Default k = 8·den keeps the per-batch
+    error ⅛ of the threshold."""
+    import pyarrow.compute as pc
+    import ray
+
+    k = k or 8 * den
+    partials = pa.concat_tables(
+        ray.get(
+            ds.map_batches(
+                lambda b: mg_partial(b, col, k), batch_format="pyarrow"
+            ).to_arrow_refs()
+        )
+    )
+    markers = partials.filter(pc.is_null(partials.column(col)))
+    n_total = int(pc.sum(markers.column("cnt")).as_py() or 0)
+    d_total = int(pc.sum(markers.column("ded")).as_py() or 0)
+    item_rows = partials.filter(pc.is_valid(partials.column(col)))
+    merged = (
+        item_rows.group_by(col).aggregate([("cnt", "sum")]).to_pandas()
+    )
+    cand = merged[
+        (merged["cnt_sum"] + d_total) * den > n_total * num
+    ][col]
+    cand_arr = pa.array(list(cand), type=partials.column(col).type)
+    ref = ray.put(cand_arr)
+
+    def exact_count(batch: pa.Table) -> pa.Table:
+        cands = ray.get(ref)
+        keep = batch.filter(
+            pc.fill_null(pc.is_in(batch.column(col), value_set=cands), False)
+        )
+        vc = keep.column(col).to_pandas().value_counts()
+        return pa.table(
+            {
+                col: pa.array(list(vc.index), type=batch.column(col).type),
+                "cnt": pa.array([int(v) for v in vc.to_list()], pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(exact_count, batch_format="pyarrow")
+        .groupby(col)
+        .sum("cnt")
+    )
+    tables = [
+        t
+        for t in ray.get(
+            counts.map_batches(
+                lambda t: t.rename_columns([col, "cnt"]), batch_format="pyarrow"
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not tables:
+        return pa.table(
+            {col: pa.array([], partials.column(col).type),
+             "cnt": pa.array([], pa.int64())}
+        )
+    final = pa.concat_tables(tables)
+    mask = pc.greater(
+        pc.multiply(final.column("cnt"), pa.scalar(den, pa.int64())),
+        pa.scalar(n_total * num, pa.int64()),
+    )
+    return final.filter(mask).sort_by(col)

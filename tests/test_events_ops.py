@@ -121,3 +121,82 @@ def test_asof_join_matches_pandas(events_ds):
         ).reset_index(drop=True)
 
     assert norm(out).equals(norm(expected))
+
+
+def test_semi_anti_join_partition(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from spider_ray.pipelines.relational import semi_anti_join
+
+    left = pa.table(
+        {"k": pa.array([1, 2, 3, 4, None], pa.int64()),
+         "v": pa.array(list("abcde"), pa.string())}
+    )
+    right = pa.table({"rk": pa.array([2, 4, 4, 9], pa.int64())})
+    lds = ray.data.from_arrow(left)
+    rds = ray.data.from_arrow(right)
+    semi = semi_anti_join(lds, rds, on="k", right_on="rk").to_pandas()
+    anti = semi_anti_join(lds, rds, on="k", anti=True, right_on="rk").to_pandas()
+    assert sorted(semi["v"]) == ["b", "d"]
+    # NOT EXISTS keeps NULL keys and every non-matching key; semi ∪ anti
+    # partitions the left side exactly
+    assert sorted(anti["v"]) == ["a", "c", "e"]
+    assert len(semi) + len(anti) == left.num_rows
+
+
+def test_heavy_hitters_exact_on_skewed_zipf(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from spider_ray.pipelines.sketches import heavy_hitters
+
+    # Zipf-ish skew with cardinality >> k: MG compression (k=8) must
+    # still return the exact > N/10 items with exact counts
+    rng = np.random.default_rng(5)
+    vals = [f"u{int(v)}" for v in rng.zipf(1.4, size=20_000) % 500]
+    ds = ray.data.from_arrow(
+        pa.table({"u": pa.array(vals, pa.string())})
+    ).repartition(10)
+    out = heavy_hitters(ds, "u", num=1, den=10, k=8).to_pandas()
+
+    vc = pd.Series(vals).value_counts()
+    expect = vc[vc * 10 > len(vals)]
+    assert sorted(out["u"]) == sorted(expect.index)
+    got = dict(zip(out["u"], out["cnt"]))
+    assert all(got[i] == int(expect[i]) for i in expect.index)
+
+
+def test_lag_diff_matches_pandas_window(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from spider_ray.pipelines.events import lag_diff
+
+    rng = np.random.default_rng(7)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 20, size=n).astype(np.int64),
+            "ts": pd.to_datetime(
+                rng.integers(0, 10**9, size=n) * 1000, unit="us"
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = lag_diff(ds).to_pandas().sort_values("event_id").reset_index(drop=True)
+
+    ref = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort").copy()
+    ref["delta_us"] = (
+        ref.groupby("user_id")["ts"].diff().dt.total_seconds() * 1e6
+    )
+    ref = ref.sort_values("event_id").reset_index(drop=True)
+    got = out["delta_us"].astype("float64")
+    exp = ref["delta_us"].astype("float64")
+    assert ((got.isna() == exp.isna()).all()
+            and np.allclose(got.dropna(), exp.dropna()))
