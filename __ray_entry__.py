@@ -1798,6 +1798,62 @@ ORDER BY doc_id, rank
 """
 
 
+def _q_webdataset_roundtrip(sf_dir: str) -> pa.Table:
+    """WebDataset tar-shard sink/source round-trip
+    (sources.webdataset): documents are packed into deterministic tar
+    shards by distributed write tasks (payload = utf-8 text, meta =
+    lang/source), read back one-task-per-shard, and reduced to
+    (doc_id, nbytes, digest) — byte-exact preservation provable in SQL
+    (octet_length + md5 over the same parquet)."""
+    _ctx()
+    import hashlib
+    import shutil
+
+    from spider_ray.sources.webdataset import read_tar_shards, write_tar_shards
+
+    out_dir = f"/tmp/spider_ray_wds/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+    manifest = _collect(
+        write_tar_shards(
+            docs,
+            out_dir,
+            key_col="doc_id",
+            payload_col="text",
+            meta_cols=("lang", "source"),
+            ext="txt",
+            samples_per_shard=128,
+        )
+    )
+    shards = manifest.column("shard").to_pylist()
+    rows = read_tar_shards(shards, ext="txt")
+
+    def digest(batch: pa.Table) -> pa.Table:
+        keys = batch.column("key").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array([int(k) for k in keys], pa.int64()),
+                "nbytes": pa.array([len(p) for p in payloads], pa.int64()),
+                "digest": pa.array(
+                    [hashlib.md5(p).hexdigest() for p in payloads], pa.string()
+                ),
+            }
+        )
+
+    return _collect(rows.map_batches(digest, batch_format="pyarrow")).sort_by(
+        "doc_id"
+    )
+
+
+_SQL_WEBDATASET_ROUNDTRIP = """
+SELECT doc_id,
+       octet_length(encode(text))::BIGINT AS nbytes,
+       md5(text) AS digest
+FROM documents ORDER BY doc_id
+"""
+
+
 def _q_semi_join_orders(sf_dir: str) -> pa.Table:
     """Customers that have ≥1 order (relational.semi_anti_join): orders
     reduces to distinct custkeys (per-batch unique combiner + one small
@@ -2219,6 +2275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "connected_components": _q_connected_components,
         "tfidf_topk": _q_tfidf_topk,
+        "webdataset_roundtrip": _q_webdataset_roundtrip,
         "semi_join_orders": _q_semi_join_orders,
         "anti_join_orders": _q_anti_join_orders,
         "heavy_hitters": _q_heavy_hitters,
@@ -2274,6 +2331,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _SQL_PAGERANK,
         "connected_components": _SQL_CONNECTED_COMPONENTS,
         "tfidf_topk": _SQL_TFIDF_TOPK,
+        "webdataset_roundtrip": _SQL_WEBDATASET_ROUNDTRIP,
         "semi_join_orders": _SQL_SEMI_JOIN_ORDERS,
         "anti_join_orders": _SQL_ANTI_JOIN_ORDERS,
         "heavy_hitters": _SQL_HEAVY_HITTERS,
