@@ -1798,6 +1798,46 @@ ORDER BY doc_id, rank
 """
 
 
+def _q_quality_filter(sf_dir: str) -> pa.Table:
+    """C4-style document quality gate (pipelines.textops.c4_quality_flags):
+    6 integer-exact rules folded into one flag bitmask per document —
+    word count, longest word, terminal '.', 'javascript', '{', integer
+    cross-multiplied mean-word-length band. Map-only (no exchange);
+    oracle recomputes the identical bitmask with DuckDB list lambdas."""
+    _ctx()
+    from spider_ray.pipelines.textops import c4_quality_flags
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return _collect(c4_quality_flags(docs)).sort_by("doc_id")
+
+
+_SQL_QUALITY_FILTER = r"""
+WITH w AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '\S+')) AS n_words,
+         COALESCE(list_max(list_transform(
+             regexp_extract_all(text, '\S+'), x -> length(x))), 0) AS maxw,
+         COALESCE(list_sum(list_transform(
+             regexp_extract_all(text, '\S+'), x -> length(x))), 0) AS sumw
+  FROM documents
+), f AS (
+  SELECT doc_id, n_words,
+         (CASE WHEN n_words < 20 THEN 1 ELSE 0 END
+        + CASE WHEN maxw > 50 THEN 2 ELSE 0 END
+        + CASE WHEN NOT regexp_matches(lower(text),
+                   '\b(the|a|to|and|of|in)\b') THEN 4 ELSE 0 END
+        + CASE WHEN contains(lower(text), 'javascript') THEN 8 ELSE 0 END
+        + CASE WHEN contains(text, '{') THEN 16 ELSE 0 END
+        + CASE WHEN 3 * n_words > sumw OR sumw > 10 * n_words
+               THEN 32 ELSE 0 END) AS flags
+  FROM w
+)
+SELECT doc_id, n_words::BIGINT AS n_words, flags::BIGINT AS flags,
+       flags = 0 AS keep
+FROM f ORDER BY doc_id
+"""
+
+
 def _q_webdataset_roundtrip(sf_dir: str) -> pa.Table:
     """WebDataset tar-shard sink/source round-trip
     (sources.webdataset): documents are packed into deterministic tar
@@ -2275,6 +2315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "connected_components": _q_connected_components,
         "tfidf_topk": _q_tfidf_topk,
+        "quality_filter": _q_quality_filter,
         "webdataset_roundtrip": _q_webdataset_roundtrip,
         "semi_join_orders": _q_semi_join_orders,
         "anti_join_orders": _q_anti_join_orders,
@@ -2331,6 +2372,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _SQL_PAGERANK,
         "connected_components": _SQL_CONNECTED_COMPONENTS,
         "tfidf_topk": _SQL_TFIDF_TOPK,
+        "quality_filter": _SQL_QUALITY_FILTER,
         "webdataset_roundtrip": _SQL_WEBDATASET_ROUNDTRIP,
         "semi_join_orders": _SQL_SEMI_JOIN_ORDERS,
         "anti_join_orders": _SQL_ANTI_JOIN_ORDERS,

@@ -199,3 +199,69 @@ def analyze(ds, text_col: str = "text"):
         return fingerprint_batch(batch, text_col)
 
     return ds.map_batches(all_batch, batch_format="pyarrow")
+
+
+_WS_TOKEN_RE = None
+_STOPWORD_RE = None
+
+
+def c4_quality_flags(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """C4-style document quality rules as an integer flag bitmask
+    (Raffel et al., *Exploring the Limits of Transfer Learning* §2.2,
+    adapted to document level so every rule is integer-exact and
+    SQL-checkable):
+
+      bit 1  — fewer than 20 whitespace words
+      bit 2  — longest word > 50 chars (lorem/garbage/minified blobs)
+      bit 4  — no common-English stopword (the|a|to|and|of|in as whole
+               words; stands in for C4's terminal-punctuated-line rule,
+               which is vacuous on the unpunctuated fixture corpus)
+      bit 8  — contains 'javascript' (lowercased)
+      bit 16 — contains '{' (code/markup)
+      bit 32 — mean word length outside [3, 10] (integer cross-multiply:
+               3·n > Σlen or Σlen > 10·n — no float threshold)
+
+    keep = flags == 0. One map_batches, no exchange; the whole filter is
+    a pre-shuffle gate in a training-data pipeline. Output:
+    (id, n_words, flags, keep)."""
+    global _WS_TOKEN_RE, _STOPWORD_RE
+    if _WS_TOKEN_RE is None:
+        import re
+
+        _WS_TOKEN_RE = re.compile(r"\S+")
+        _STOPWORD_RE = re.compile(r"\b(?:the|a|to|and|of|in)\b")
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        n_words, flags_out = [], []
+        for t in texts:
+            t = t or ""
+            words = _WS_TOKEN_RE.findall(t)
+            n = len(words)
+            sumw = sum(len(w) for w in words)
+            maxw = max((len(w) for w in words), default=0)
+            flags = 0
+            if n < 20:
+                flags |= 1
+            if maxw > 50:
+                flags |= 2
+            if not _STOPWORD_RE.search(t.lower()):
+                flags |= 4
+            if "javascript" in t.lower():
+                flags |= 8
+            if "{" in t:
+                flags |= 16
+            if 3 * n > sumw or sumw > 10 * n:
+                flags |= 32
+            n_words.append(n)
+            flags_out.append(flags)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_words": pa.array(n_words, pa.int64()),
+                "flags": pa.array(flags_out, pa.int64()),
+                "keep": pa.array([f == 0 for f in flags_out], pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

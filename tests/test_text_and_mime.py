@@ -85,3 +85,35 @@ def test_fingerprint_deterministic_and_local():
     a = fingerprint64("hello world this is a document " * 10)
     assert a == fingerprint64("hello world this is a document " * 10)
     assert isinstance(a, int)
+
+
+def test_c4_quality_flags_every_bit(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from spider_ray.pipelines.textops import c4_quality_flags
+
+    good = "the quick brown fox jumps over to all lazy dogs " * 3
+    texts = {
+        0: good,
+        1 | 32: "the cat sat on a mat",                # <20 words, mean<3
+        2: good + " " + "x" * 60,                      # long word
+        # 20 two-char words, no stopword → bits 4 and 32
+        4 | 32: "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii hh gg",
+        16: good + " {",                               # code brace
+        8 | 16: good + " {javascript}",                # both
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(list(texts.values()), pa.string()),
+        }
+    )
+    out = (
+        c4_quality_flags(ray.data.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["flags"].tolist() == list(texts.keys())
+    assert out["keep"].tolist() == [f == 0 for f in texts.keys()]
