@@ -1798,6 +1798,103 @@ ORDER BY doc_id, rank
 """
 
 
+def _q_embedding_centroids(sf_dir: str) -> pa.Table:
+    """Per-label embedding centroid sums (pipelines.ann.embedding_centroids):
+    vectors quantize to a fixed-point int64 grid per batch, partial
+    (label, dim) integer sums merge in one groupby — associative, so
+    bit-identical at any parallelism, unlike float summation. Oracle
+    reproduces the grid with floor(v*2^20 + 0.5) over a parallel unnest."""
+    _ctx()
+    from spider_ray.pipelines.ann import embedding_centroids
+
+    emb = _read(sf_dir, "embeddings", columns=["embedding", "label"])
+    agg = embedding_centroids(emb)
+    out = _collect(
+        agg.map_batches(
+            lambda t: pa.table(
+                {
+                    "label": t.column("label"),
+                    "dim": t.column("dim"),
+                    "sum_q": t.column("sum(sum_q)"),
+                    "n": t.column("sum(n)"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return out.sort_by([("label", "ascending"), ("dim", "ascending")])
+
+
+_SQL_EMBEDDING_CENTROIDS = """
+WITH u AS (
+  SELECT label,
+         unnest(range(len(embedding)))::BIGINT AS dim,
+         CAST(floor(unnest(embedding)::DOUBLE * 1048576 + 0.5) AS BIGINT) AS q
+  FROM embeddings
+)
+SELECT label::BIGINT AS label, dim, sum(q)::BIGINT AS sum_q,
+       count(*)::BIGINT AS n
+FROM u GROUP BY label, dim ORDER BY label, dim
+"""
+
+
+def _q_partitioned_sink(sf_dir: str) -> pa.Table:
+    """Hive-partitioned parquet sink round-trip
+    (sources.storage.write_partitioned): documents stream into
+    ``lang=<v>/part-<first_doc>.parquet`` files written by the owning
+    tasks (no shuffle, idempotent names → resumable), then the files are
+    read back distributed and reduced to per-partition
+    (lang, n_docs, sum_doc_id) — provable in SQL as GROUP BY lang."""
+    _ctx()
+    import shutil
+
+    from spider_ray.sources.storage import write_partitioned
+
+    out_dir = f"/tmp/spider_ray_partsink/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    manifest = _collect(
+        write_partitioned(docs, out_dir, key_col="lang", filename_col="doc_id")
+    )
+    back = ray.data.read_parquet(sorted(manifest.column("path").to_pylist()))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        langs = batch.column("lang")
+        rows = []
+        for v in pc.unique(langs).to_pylist():
+            g = batch.filter(pc.equal(langs, pa.scalar(v)))
+            rows.append(
+                (v, g.num_rows, int(pc.sum(g.column("doc_id")).as_py()))
+            )
+        return pa.table(
+            {
+                "lang": pa.array([r[0] for r in rows], pa.string()),
+                "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+                "sum_doc_id": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+
+    agg = (
+        back.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .sum(["n_docs", "sum_doc_id"])
+    )
+    return _collect(
+        agg.map_batches(
+            lambda t: t.rename_columns(["lang", "n_docs", "sum_doc_id"]),
+            batch_format="pyarrow",
+        )
+    ).sort_by("lang")
+
+
+_SQL_PARTITIONED_SINK = """
+SELECT lang, count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS sum_doc_id
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def _q_quality_filter(sf_dir: str) -> pa.Table:
     """C4-style document quality gate (pipelines.textops.c4_quality_flags):
     6 integer-exact rules folded into one flag bitmask per document —
@@ -2315,6 +2412,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "connected_components": _q_connected_components,
         "tfidf_topk": _q_tfidf_topk,
+        "embedding_centroids": _q_embedding_centroids,
+        "partitioned_sink": _q_partitioned_sink,
         "quality_filter": _q_quality_filter,
         "webdataset_roundtrip": _q_webdataset_roundtrip,
         "semi_join_orders": _q_semi_join_orders,
@@ -2372,6 +2471,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _SQL_PAGERANK,
         "connected_components": _SQL_CONNECTED_COMPONENTS,
         "tfidf_topk": _SQL_TFIDF_TOPK,
+        "embedding_centroids": _SQL_EMBEDDING_CENTROIDS,
+        "partitioned_sink": _SQL_PARTITIONED_SINK,
         "quality_filter": _SQL_QUALITY_FILTER,
         "webdataset_roundtrip": _SQL_WEBDATASET_ROUNDTRIP,
         "semi_join_orders": _SQL_SEMI_JOIN_ORDERS,

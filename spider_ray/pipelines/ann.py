@@ -138,3 +138,49 @@ def ivf_topk(
              "vec_id": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
         )
     return _merge_partials([parts], k)
+
+
+def embedding_centroids(ds, vec_col: str = "embedding", label_col: str = "label",
+                        scale_bits: int = 20):
+    """Per-label vector centroid as INTEGER-EXACT partial sums: each batch
+    quantizes its vectors to int64 (``floor(v·2^bits + 0.5)`` — the same
+    fixed-point grid an SQL oracle can reproduce) and emits one
+    (label, dim, sum_q, n) partial row per (label, dim); a groupby-sum
+    merges partials. Quantized integer addition is associative, so the
+    result is bit-identical regardless of block order/parallelism —
+    unlike float summation, whose last-ulp wobble breaks value-hash
+    gates. Centroid = sum_q / (n · 2^bits), left to the caller.
+    The exchange carries labels × dims rows, never the vectors."""
+    import numpy as np
+
+    scale = float(1 << scale_bits)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vecs = batch.column(vec_col)
+        labels = batch.column(label_col).to_numpy(zero_copy_only=False)
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in vecs.to_pylist()]
+        )
+        q = np.floor(mat * scale + 0.5).astype(np.int64)
+        out_label, out_dim, out_sum, out_n = [], [], [], []
+        for lab in np.unique(labels):
+            sel = q[labels == lab]
+            sums = sel.sum(axis=0)
+            n = sel.shape[0]
+            for d in range(sel.shape[1]):
+                out_label.append(int(lab))
+                out_dim.append(d)
+                out_sum.append(int(sums[d]))
+                out_n.append(n)
+        return pa.table(
+            {
+                "label": pa.array(out_label, pa.int64()),
+                "dim": pa.array(out_dim, pa.int64()),
+                "sum_q": pa.array(out_sum, pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["label", "dim"]
+    ).sum(["sum_q", "n"])

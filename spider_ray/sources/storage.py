@@ -173,3 +173,51 @@ class EpochStore:
             epochs = [e for e in epochs if e <= upto_epoch]
         tables = [self.read(table, e) for e in epochs]
         return pa.concat_tables(tables) if tables else None
+
+
+def write_partitioned(
+    ds,
+    out_dir: str,
+    key_col: str,
+    filename_col: str | None = None,
+):
+    """Hive-style partitioned parquet sink: ``out_dir/<key_col>=<value>/
+    part-<first_id>.parquet``, written by the owning map task (no driver
+    traffic, no shuffle — each task splits ITS batch by key and appends
+    one file per local key group; a key spanning tasks simply owns
+    several part files, which every parquet reader unions). Part names
+    derive from each group's first ``filename_col`` value (default: the
+    key + row offset), so re-runs overwrite the same files — the
+    resumable-output layout the 100 TB brief requires. Returns the
+    manifest Dataset (partition, path, rows)."""
+    import pyarrow.compute as pc
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        parts, paths, rows = [], [], []
+        keys = batch.column(key_col)
+        for val in pc.unique(keys).to_pylist():
+            group = batch.filter(pc.equal(keys, pa.scalar(val)))
+            part_dir = os.path.join(out_dir, f"{key_col}={val}")
+            if filename_col is not None:
+                first = str(group.column(filename_col)[0].as_py())
+            else:
+                import hashlib
+
+                first = hashlib.md5(
+                    str(group.column(0)[0].as_py()).encode()
+                ).hexdigest()[:12]
+            path = write_table(group, part_dir, f"part-{first}.parquet")
+            parts.append(str(val))
+            paths.append(path)
+            rows.append(group.num_rows)
+        return pa.table(
+            {
+                "partition": pa.array(parts, pa.string()),
+                "path": pa.array(paths, pa.string()),
+                "rows": pa.array(rows, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(write_batch, batch_format="pyarrow")
