@@ -1798,6 +1798,155 @@ ORDER BY doc_id, rank
 """
 
 
+def _q_tpch_q3ish(sf_dir: str) -> pa.Table:
+    """TPC-H Q3-shaped composition from existing building blocks only:
+    BUILDING-segment customers semi-filter orders (broadcast distinct-key
+    probe, relational.semi_anti_join), the surviving orders bucket-join
+    lineitem on the order key (ONE hash exchange,
+    relational.bucketed_hash_join), revenue pre-aggregates per batch
+    (relational.preagg_sum), and the global top-10 merges per-block
+    partial top-10s — the driver only ever sees ≤10 rows per block.
+    Revenue is integer cents via floor(x·100+0.5) so ranking is exact."""
+    _ctx()
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from spider_ray.pipelines.relational import (
+        bucketed_hash_join,
+        preagg_sum,
+        semi_anti_join,
+    )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t.column("c_mktsegment"), "BUILDING")).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    orders_f = semi_anti_join(orders, cust, on="o_custkey", right_on="c_custkey")
+
+    def prep_line(batch: pa.Table) -> pa.Table:
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": batch.column("l_orderkey"),
+                "rev_cents": pa.array(cents),
+            }
+        )
+
+    line = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(prep_line, batch_format="pyarrow")
+    joined = bucketed_hash_join(
+        orders_f.map_batches(
+            lambda t: t.select(["o_orderkey"]), batch_format="pyarrow"
+        ),
+        line,
+        on="o_orderkey",
+        left_cols=[],
+        right_cols=["rev_cents"],
+    )
+    agg = preagg_sum(joined, ["o_orderkey"], ["rev_cents"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        t = batch.rename_columns(["o_orderkey", "revenue_cents"])
+        t = t.set_column(
+            1, "revenue_cents", t.column("revenue_cents").cast(pa.int64())
+        )
+        idx = pc.select_k_unstable(
+            t,
+            10,
+            [("revenue_cents", "descending"), ("o_orderkey", "ascending")],
+        )
+        return t.take(idx)
+
+    parts = _collect(agg.map_batches(local_topk, batch_format="pyarrow"))
+    return parts.sort_by(
+        [("revenue_cents", "descending"), ("o_orderkey", "ascending")]
+    ).slice(0, 10)
+
+
+_SQL_TPCH_Q3ISH = """
+SELECT o_orderkey, revenue_cents FROM (
+  SELECT o.o_orderkey,
+         sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+             AS BIGINT))::BIGINT AS revenue_cents
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+  GROUP BY o.o_orderkey
+)
+ORDER BY revenue_cents DESC, o_orderkey LIMIT 10
+"""
+
+
+def _q_user_event_arrays(sf_dir: str) -> pa.Table:
+    """array_agg(event_id ORDER BY ts, event_id) per user
+    (pipelines.events.grouped_array_agg) — emitted as a comma-joined
+    string so the value-hash gate compares order-exactly (DuckDB
+    string_agg with ORDER BY)."""
+    _ctx()
+    from spider_ray.pipelines.events import grouped_array_agg
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = grouped_array_agg(
+        ev, group_col="user_id", value_col="event_id", order_cols=["ts", "event_id"]
+    )
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        vals = batch.column("values").to_pylist()
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "event_ids": pa.array(
+                    [",".join(str(v) for v in vs) for vs in vals], pa.string()
+                ),
+                "n": batch.column("n").cast(pa.int64()),
+            }
+        )
+
+    return _collect(out.map_batches(fmt, batch_format="pyarrow")).sort_by("user_id")
+
+
+_SQL_USER_EVENT_ARRAYS = """
+SELECT user_id,
+       string_agg(event_id::VARCHAR, ',' ORDER BY ts, event_id) AS event_ids,
+       count(*)::BIGINT AS n
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def _q_bigram_counts(sf_dir: str) -> pa.Table:
+    """Corpus bigram count table (pipelines.textops.ngram_counts,
+    min_count=3): per-batch Counter combiner, one vocab-bounded
+    groupby-sum. Oracle: DuckDB list-lambda bigrams over the same
+    tokenizer."""
+    _ctx()
+    from spider_ray.pipelines.textops import ngram_counts
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    return _collect(ngram_counts(docs, n=2, min_count=3)).sort_by("ngram")
+
+
+_SQL_BIGRAM_COUNTS = r"""
+WITH t AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+), g AS (
+  SELECT unnest(list_transform(
+           range(len(toks) - 1), i -> toks[i + 1] || ' ' || toks[i + 2]
+         )) AS ngram
+  FROM t WHERE len(toks) > 1
+)
+SELECT ngram, count(*)::BIGINT AS count
+FROM g GROUP BY ngram HAVING count(*) >= 3 ORDER BY ngram
+"""
+
+
 def _q_embedding_centroids(sf_dir: str) -> pa.Table:
     """Per-label embedding centroid sums (pipelines.ann.embedding_centroids):
     vectors quantize to a fixed-point int64 grid per batch, partial
@@ -2412,6 +2561,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "connected_components": _q_connected_components,
         "tfidf_topk": _q_tfidf_topk,
+        "tpch_q3ish": _q_tpch_q3ish,
+        "user_event_arrays": _q_user_event_arrays,
+        "bigram_counts": _q_bigram_counts,
         "embedding_centroids": _q_embedding_centroids,
         "partitioned_sink": _q_partitioned_sink,
         "quality_filter": _q_quality_filter,
@@ -2471,6 +2623,9 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _SQL_PAGERANK,
         "connected_components": _SQL_CONNECTED_COMPONENTS,
         "tfidf_topk": _SQL_TFIDF_TOPK,
+        "tpch_q3ish": _SQL_TPCH_Q3ISH,
+        "user_event_arrays": _SQL_USER_EVENT_ARRAYS,
+        "bigram_counts": _SQL_BIGRAM_COUNTS,
         "embedding_centroids": _SQL_EMBEDDING_CENTROIDS,
         "partitioned_sink": _SQL_PARTITIONED_SINK,
         "quality_filter": _SQL_QUALITY_FILTER,

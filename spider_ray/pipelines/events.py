@@ -235,3 +235,27 @@ def lag_diff(
         ),
         batch_format="pyarrow",
     )
+
+
+def grouped_array_agg(
+    ds,
+    group_col: str,
+    value_col: str,
+    order_cols: list[str],
+):
+    """SQL array_agg(value ORDER BY ...) per group: one hash exchange on
+    the group key, then an in-group mergesort + list collect. Returns
+    (group, values list<>, n). Group history must fit the owning worker —
+    the same partitioning assumption as every window operator here."""
+
+    def per_group(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(order_cols, kind="mergesort")
+        return pd.DataFrame(
+            {
+                group_col: [g[group_col].iloc[0]],
+                "values": [g[value_col].tolist()],
+                "n": [len(g)],
+            }
+        )
+
+    return ds.groupby(group_col).map_groups(per_group, batch_format="pandas")

@@ -265,3 +265,55 @@ def c4_quality_flags(ds, text_col: str = "text", id_col: str = "doc_id"):
         )
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def ngram_counts(
+    ds,
+    n: int = 2,
+    min_count: int = 1,
+    text_col: str = "text",
+):
+    """Corpus n-gram counts (language-model count tables): per-batch
+    Counter combiner — one (ngram, count) partial row per distinct gram
+    per batch — then one groupby-sum exchange carrying only the partials
+    (vocab-bounded, never the corpus). ``min_count`` prunes the long
+    tail AFTER the global sum (pruning partials would undercount grams
+    spread across batches). Tokens are the engine-wide [a-z0-9]+
+    lowercase vocabulary; grams join with a single space."""
+    global _VOCAB_RE
+    if _VOCAB_RE is None:
+        import re
+
+        _VOCAB_RE = re.compile(r"[a-z0-9]+")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            toks = _VOCAB_RE.findall(t.lower()) if t else []
+            counts.update(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+        return pa.table(
+            {
+                "ngram": pa.array(list(counts.keys()), pa.string()),
+                "count": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("ngram").sum(
+        "count"
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out = batch.rename_columns(["ngram", "count"])
+        if min_count > 1:
+            out = out.filter(
+                pc.greater_equal(out.column("count"), min_count)
+            )
+        return out
+
+    return agg.map_batches(finish, batch_format="pyarrow")
