@@ -1798,6 +1798,38 @@ ORDER BY doc_id, rank
 """
 
 
+def _q_kmeans_embeddings(sf_dir: str) -> pa.Table:
+    """Distributed Lloyd k-means over the embeddings table
+    (pipelines.kmeans): deterministic md5-order init, broadcast
+    centroids, integer fixed-point partial sums (bit-identical at any
+    parallelism — tested across partitionings). Output: per-cluster size
+    + quantized centroid-norm fingerprint. Iterative/non-SQL → rows-only
+    driver check (the determinism makes even the weak check stable)."""
+    _ctx()
+    import numpy as np
+
+    from spider_ray.pipelines.kmeans import kmeans_assign, kmeans_fit
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    centroids, inertia_q = kmeans_fit(emb, k=8, n_iter=6)
+    assigned = _collect(kmeans_assign(emb, centroids)).to_pandas()
+    sizes = assigned.groupby("cluster").size()
+    norm_q = np.floor(
+        np.linalg.norm(centroids, axis=1) * (1 << 20) + 0.5
+    ).astype(np.int64)
+    clusters = sorted(int(c) for c in sizes.index)
+    return pa.table(
+        {
+            "cluster": pa.array(clusters, pa.int64()),
+            "n": pa.array([int(sizes[c]) for c in clusters], pa.int64()),
+            "centroid_norm_q": pa.array(
+                [int(norm_q[c]) for c in clusters], pa.int64()
+            ),
+            "inertia_q": pa.array([int(inertia_q)] * len(clusters), pa.int64()),
+        }
+    )
+
+
 def _q_tpch_q3ish(sf_dir: str) -> pa.Table:
     """TPC-H Q3-shaped composition from existing building blocks only:
     BUILDING-segment customers semi-filter orders (broadcast distinct-key
@@ -2561,6 +2593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "connected_components": _q_connected_components,
         "tfidf_topk": _q_tfidf_topk,
+        "kmeans_embeddings": _q_kmeans_embeddings,
         "tpch_q3ish": _q_tpch_q3ish,
         "user_event_arrays": _q_user_event_arrays,
         "bigram_counts": _q_bigram_counts,

@@ -189,3 +189,71 @@ def audio_features_stub(*_args, **_kwargs):
         "Use spider_ray.stages.media.AudioFeatures (16-bit mono WAV, real "
         "stdlib decode) for the real, tested audio-features stage."
     )
+
+
+class Augment:
+    """Deterministic per-image training augmentation: center-crop to a
+    fraction, optional horizontal flip and brightness shift chosen by
+    ``md5(image_id, seed)`` — reproducible across runs/engines (no RNG
+    state), which is what makes augmented corpora diffable and resumable.
+    Actor-pool stage: parameters resolve once per actor in ``__init__``;
+    ``__call__`` decodes, transforms with pure-numpy slicing/flipping,
+    re-encodes PNG. Emits aug_bytes, aug_w, aug_h, aug_flipped,
+    aug_brightness."""
+
+    def __init__(
+        self,
+        crop_frac: float = 0.875,
+        max_brightness: int = 32,
+        seed: int = 0,
+        id_col: str = "image_id",
+        bytes_col: str = "bytes",
+    ):
+        import hashlib
+
+        self.crop_frac = crop_frac
+        self.max_brightness = max_brightness
+        self.seed = seed
+        self.id_col = id_col
+        self.bytes_col = bytes_col
+        self._md5 = hashlib.md5
+
+    def _params(self, image_id) -> tuple[bool, int]:
+        digest = self._md5(f"{self.seed}:{image_id}".encode()).digest()
+        flip = bool(digest[0] & 1)
+        brightness = int(digest[1] % (2 * self.max_brightness + 1)) - self.max_brightness
+        return flip, brightness
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch.column(self.bytes_col).to_pylist()
+        ids = batch.column(self.id_col).to_pylist()
+        out_b, out_w, out_h, out_f, out_br = [], [], [], [], []
+        for image_id, blob in zip(ids, blobs):
+            if sniff_format(blob) not in ("png", "jpeg"):
+                out_b.append(None)
+                out_w.append(None)
+                out_h.append(None)
+                out_f.append(None)
+                out_br.append(None)
+                continue
+            px = decode_image(blob).astype(np.int16)
+            h, w = px.shape[0], px.shape[1]
+            ch, cw = max(1, int(h * self.crop_frac)), max(1, int(w * self.crop_frac))
+            top, left = (h - ch) // 2, (w - cw) // 2
+            px = px[top : top + ch, left : left + cw]
+            flip, brightness = self._params(image_id)
+            if flip:
+                px = px[:, ::-1]
+            px = np.clip(px + brightness, 0, 255).astype(np.uint8)
+            out_b.append(encode_image(px, "png"))
+            out_w.append(cw)
+            out_h.append(ch)
+            out_f.append(flip)
+            out_br.append(brightness)
+        return (
+            batch.append_column("aug_bytes", pa.array(out_b, pa.binary()))
+            .append_column("aug_w", pa.array(out_w, pa.int32()))
+            .append_column("aug_h", pa.array(out_h, pa.int32()))
+            .append_column("aug_flipped", pa.array(out_f, pa.bool_()))
+            .append_column("aug_brightness", pa.array(out_br, pa.int32()))
+        )

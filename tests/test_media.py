@@ -96,3 +96,49 @@ def test_stubs_point_to_real_stages():
         frame_sample_stub()
     with pytest.raises(NotImplementedError, match="media.AudioFeatures"):
         audio_features_stub()
+
+
+def test_augment_stage_deterministic_and_correct(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from spider_ray.functions.imagecodec import decode_image, encode_image
+    from spider_ray.stages.images import Augment
+
+    rng = np.random.default_rng(9)
+    imgs = [rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8) for _ in range(6)]
+    tbl = pa.table(
+        {
+            "image_id": pa.array(range(6), pa.int64()),
+            "bytes": pa.array([encode_image(p, "png") for p in imgs], pa.binary()),
+        }
+    )
+
+    def run():
+        return (
+            ray.data.from_arrow(tbl)
+            .map_batches(Augment, batch_size=3, concurrency=1, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("image_id")
+            .reset_index(drop=True)
+        )
+
+    a, b = run(), run()
+    assert [bytes(x) for x in a["aug_bytes"]] == [bytes(x) for x in b["aug_bytes"]]
+
+    stage = Augment()
+    for i, px in enumerate(imgs):
+        row = a.iloc[i]
+        # crop dims: 87.5% center crop
+        assert (row["aug_h"], row["aug_w"]) == (21, 28)
+        ref = px.astype(np.int16)[1:22, 2:30]
+        flip, brightness = stage._params(i)
+        assert row["aug_flipped"] == flip
+        assert row["aug_brightness"] == brightness
+        assert abs(brightness) <= 32
+        if flip:
+            ref = ref[:, ::-1]
+        ref = np.clip(ref + brightness, 0, 255).astype(np.uint8)
+        got = decode_image(bytes(row["aug_bytes"]))
+        assert np.array_equal(got, ref)
