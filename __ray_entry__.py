@@ -1798,6 +1798,35 @@ ORDER BY doc_id, rank
 """
 
 
+def _q_distinct_users_per_type(sf_dir: str) -> pa.Table:
+    """count(DISTINCT user_id) per event_type
+    (pipelines.events.grouped_distinct_count): per-batch unique-pair
+    combiner, then a groupby over pairs only — the raw column never
+    shuffles."""
+    _ctx()
+    from spider_ray.pipelines.events import grouped_distinct_count
+
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    out = grouped_distinct_count(ev, "event_type", "user_id")
+    return _collect(
+        out.map_batches(
+            lambda t: pa.table(
+                {
+                    "event_type": t.column("event_type"),
+                    "n_distinct": t.column("n_distinct").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    ).sort_by("event_type")
+
+
+_SQL_DISTINCT_USERS_PER_TYPE = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def _q_kmeans_embeddings(sf_dir: str) -> pa.Table:
     """Distributed Lloyd k-means over the embeddings table
     (pipelines.kmeans): deterministic md5-order init, broadcast
@@ -2530,6 +2559,13 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 def _collect(ds) -> pa.Table:
     refs = ds.to_arrow_refs()
     tables = [ray.get(r) for r in refs]
+    # empty pandas blocks can bypass a pyarrow map_batches unconverted
+    tables = [
+        pa.Table.from_pandas(t, preserve_index=False)
+        if isinstance(t, pd.DataFrame)
+        else t
+        for t in tables
+    ]
     tables = [t for t in tables if t.num_rows]
     if not tables:
         return ds.schema().empty_table()
@@ -2593,6 +2629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "connected_components": _q_connected_components,
         "tfidf_topk": _q_tfidf_topk,
+        "distinct_users_per_type": _q_distinct_users_per_type,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "tpch_q3ish": _q_tpch_q3ish,
         "user_event_arrays": _q_user_event_arrays,
@@ -2656,6 +2693,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _SQL_PAGERANK,
         "connected_components": _SQL_CONNECTED_COMPONENTS,
         "tfidf_topk": _SQL_TFIDF_TOPK,
+        "distinct_users_per_type": _SQL_DISTINCT_USERS_PER_TYPE,
         "tpch_q3ish": _SQL_TPCH_Q3ISH,
         "user_event_arrays": _SQL_USER_EVENT_ARRAYS,
         "bigram_counts": _SQL_BIGRAM_COUNTS,

@@ -259,3 +259,26 @@ def grouped_array_agg(
         )
 
     return ds.groupby(group_col).map_groups(per_group, batch_format="pandas")
+
+
+def grouped_distinct_count(ds, group_col: str, value_col: str):
+    """count(DISTINCT value) per group: each batch first reduces to its
+    unique (group, value) pairs (pandas drop_duplicates — the combiner),
+    one groupby over pairs dedups globally, then a per-group count.
+    Only unique pairs ever cross the wire; the raw column never
+    shuffles. Output: (group, n_distinct)."""
+
+    def local_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[[group_col, value_col]].drop_duplicates()
+
+    pairs = ds.map_batches(local_pairs, batch_format="pandas")
+
+    def per_group(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                group_col: [group[group_col].iloc[0]],
+                "n_distinct": [int(group[value_col].nunique())],
+            }
+        )
+
+    return pairs.groupby(group_col).map_groups(per_group, batch_format="pandas")
