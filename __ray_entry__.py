@@ -1911,23 +1911,22 @@ def _q_tpch_q3ish(sf_dir: str) -> pa.Table:
         right_cols=["rev_cents"],
     )
     agg = preagg_sum(joined, ["o_orderkey"], ["rev_cents"])
+    from spider_ray.pipelines.events import global_topk
 
-    def local_topk(batch: pa.Table) -> pa.Table:
-        t = batch.rename_columns(["o_orderkey", "revenue_cents"])
-        t = t.set_column(
-            1, "revenue_cents", t.column("revenue_cents").cast(pa.int64())
-        )
-        idx = pc.select_k_unstable(
-            t,
-            10,
-            [("revenue_cents", "descending"), ("o_orderkey", "ascending")],
-        )
-        return t.take(idx)
-
-    parts = _collect(agg.map_batches(local_topk, batch_format="pyarrow"))
-    return parts.sort_by(
-        [("revenue_cents", "descending"), ("o_orderkey", "ascending")]
-    ).slice(0, 10)
+    renamed = agg.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "revenue_cents": t.column("rev_cents").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return global_topk(
+        renamed,
+        10,
+        [("revenue_cents", "descending"), ("o_orderkey", "ascending")],
+    )
 
 
 _SQL_TPCH_Q3ISH = """

@@ -282,3 +282,33 @@ def grouped_distinct_count(ds, group_col: str, value_col: str):
         )
 
     return pairs.groupby(group_col).map_groups(per_group, batch_format="pandas")
+
+
+def global_topk(ds, k: int, sort_keys: list[tuple[str, str]]):
+    """Global top-k rows by arbitrary (column, order) keys WITHOUT a full
+    sort: every block keeps its local top-k (`pc.select_k_unstable` —
+    O(block·log k)), the ≤ k·blocks survivors concat small, and one final
+    in-memory sort picks the global k. The driver never sees more than
+    k rows per block — the partial-top-k pattern every "ORDER BY ...
+    LIMIT k" query should compile to at scale (a full `ds.sort` is an
+    all-to-all exchange just to discard all but k rows). Returns a
+    pyarrow Table (small by construction)."""
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    def local_k(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        return batch.take(pc.select_k_unstable(batch, k, sort_keys))
+
+    parts = [
+        t
+        for t in _ray.get(
+            ds.map_batches(local_k, batch_format="pyarrow").to_arrow_refs()
+        )
+        if not isinstance(t, pd.DataFrame) and t.num_rows
+    ]
+    if not parts:
+        return ds.schema().empty_table()
+    merged = pa.concat_tables(parts).combine_chunks()
+    return merged.sort_by(sort_keys).slice(0, k)

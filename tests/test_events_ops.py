@@ -200,3 +200,23 @@ def test_lag_diff_matches_pandas_window(ray_session):
     exp = ref["delta_us"].astype("float64")
     assert ((got.isna() == exp.isna()).all()
             and np.allclose(got.dropna(), exp.dropna()))
+
+
+def test_global_topk_matches_full_sort(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from spider_ray.pipelines.events import global_topk
+
+    rng = np.random.default_rng(3)
+    tbl = pa.table(
+        {
+            "id": pa.array(range(5000), pa.int64()),
+            "v": pa.array(rng.integers(0, 100, size=5000), pa.int64()),
+        }
+    )
+    keys = [("v", "descending"), ("id", "ascending")]
+    got = global_topk(ray.data.from_arrow(tbl).repartition(13), 25, keys)
+    expect = tbl.sort_by(keys).slice(0, 25)
+    assert got.equals(expect)
