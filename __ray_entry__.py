@@ -1798,6 +1798,19 @@ ORDER BY doc_id, rank
 """
 
 
+def _q_approx_value_quantiles(sf_dir: str) -> pa.Table:
+    """Mergeable approximate quantiles over events.value
+    (pipelines.sketches.approx_quantiles): per-block weighted grid
+    samples (≤ m values/block move, never the column), rank error ≤ N/m
+    by construction (property-tested on heavy-tailed data). Approximate
+    → rows-only driver check; the exact path is value_quantiles."""
+    _ctx()
+    from spider_ray.pipelines.sketches import approx_quantiles
+
+    ev = _read(sf_dir, "events", columns=["value"])
+    return approx_quantiles(ev, "value", qs=(0.25, 0.5, 0.75, 0.95, 0.99), m=256)
+
+
 def _q_distinct_users_per_type(sf_dir: str) -> pa.Table:
     """count(DISTINCT user_id) per event_type
     (pipelines.events.grouped_distinct_count): per-batch unique-pair
@@ -2628,6 +2641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "connected_components": _q_connected_components,
         "tfidf_topk": _q_tfidf_topk,
+        "approx_value_quantiles": _q_approx_value_quantiles,
         "distinct_users_per_type": _q_distinct_users_per_type,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "tpch_q3ish": _q_tpch_q3ish,

@@ -217,3 +217,66 @@ def heavy_hitters(ds, col: str, num: int = 1, den: int = 5, k: int | None = None
         pa.scalar(n_total * num, pa.int64()),
     )
     return final.filter(mask).sort_by(col)
+
+
+def quantile_sketch_partials(batch: pa.Table, col: str, m: int) -> pa.Table:
+    """One weighted grid-sample row per batch: the batch's values at m
+    equally-spaced ranks (inverted CDF), each carrying weight n/m. The
+    within-batch rank error of this summary is ≤ n/m; summed over
+    batches the global rank error is ≤ N/m (the classic weighted
+    q-digest-style bound) — m=256 ⇒ ≤ 0.4 % rank error."""
+    v = np.sort(batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64))
+    n = len(v)
+    if n == 0:
+        return pa.table(
+            {"values": pa.array([], pa.list_(pa.float64())),
+             "weight": pa.array([], pa.float64())}
+        )
+    k = min(m, n)
+    idx = np.floor((np.arange(k) + 0.5) * n / k).astype(np.int64)
+    return pa.table(
+        {
+            "values": pa.array([v[idx].tolist()], pa.list_(pa.float64())),
+            "weight": pa.array([n / k], pa.float64()),
+        }
+    )
+
+
+def approx_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75, 0.95, 0.99), m: int = 256):
+    """Mergeable approximate quantiles: per-block weighted grid samples
+    (≤ m values + 1 weight per block — the only rows that move), merged
+    on the driver as a weighted multiset; quantile = weighted inverted
+    CDF. Rank error ≤ N/m regardless of distribution or skew — the scale
+    path exact_quantiles defers to when one group's values exceed a
+    worker (pipelines/events.py docstring). Returns (q, value) Table."""
+    import ray
+
+    parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(
+                lambda b: quantile_sketch_partials(b, col, m),
+                batch_format="pyarrow",
+            ).to_arrow_refs()
+        )
+        if not isinstance(t, pd.DataFrame) and t.num_rows
+    ]
+    vals, weights = [], []
+    for t in parts:
+        for row_vals, w in zip(t.column("values").to_pylist(), t.column("weight").to_pylist()):
+            vals.extend(row_vals)
+            weights.extend([w] * len(row_vals))
+    v = np.asarray(vals)
+    w = np.asarray(weights)
+    order = np.argsort(v, kind="mergesort")
+    v, w = v[order], w[order]
+    cum = np.cumsum(w)
+    total = cum[-1]
+    out_q, out_v = [], []
+    for q in qs:
+        i = int(np.searchsorted(cum, q * total, side="left"))
+        out_q.append(float(q))
+        out_v.append(float(v[min(i, len(v) - 1)]))
+    return pa.table(
+        {"q": pa.array(out_q, pa.float64()), "value": pa.array(out_v, pa.float64())}
+    )

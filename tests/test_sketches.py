@@ -61,3 +61,31 @@ def test_merge_order_invariant():
     b = _merge_sketches(list(reversed(blobs)), k)
     assert np.array_equal(a, b)
     assert kmv_estimate(a, k) == kmv_estimate(b, k)
+
+
+def test_approx_quantiles_rank_error_bound(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from spider_ray.pipelines.sketches import approx_quantiles
+
+    rng = np.random.default_rng(21)
+    # heavy-tailed + ties: the adversarial shape for naive sampling
+    data = np.concatenate(
+        [rng.lognormal(0, 2, size=20_000), np.full(5_000, 3.0)]
+    )
+    tbl = pa.table({"v": pa.array(data, pa.float64())})
+    ds = ray.data.from_arrow(tbl).repartition(17)
+    m = 256
+    out = approx_quantiles(ds, "v", qs=(0.1, 0.5, 0.9, 0.99), m=m).to_pandas()
+
+    v_sorted = np.sort(data)
+    n = len(data)
+    for q, est in zip(out["q"], out["value"]):
+        # rank of the estimate must be within 2N/m of the target rank
+        lo = np.searchsorted(v_sorted, est, side="left")
+        hi = np.searchsorted(v_sorted, est, side="right")
+        target = q * n
+        err = min(abs(target - lo), abs(target - hi))
+        assert err <= 2 * n / m, (q, est, err, n / m)
