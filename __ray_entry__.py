@@ -1798,6 +1798,92 @@ ORDER BY doc_id, rank
 """
 
 
+def _q_events_running_total(sf_dir: str) -> pa.Table:
+    """Per-user running total (pipelines.events.running_total): the SUM
+    OVER (PARTITION BY ... ROWS UNBOUNDED PRECEDING) window as
+    partition-sort-scan; values fixed-point-quantized before
+    accumulation so the cumulative sums are integer-exact."""
+    _ctx()
+    from spider_ray.pipelines.events import running_total
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = running_total(ev)
+    return _collect(
+        out.map_batches(
+            lambda t: pa.table(
+                {
+                    "event_id": t.column("event_id").cast(pa.int64()),
+                    "user_id": t.column("user_id").cast(pa.int64()),
+                    "cum_q": t.column("cum_q").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    ).sort_by("event_id")
+
+
+_SQL_EVENTS_RUNNING_TOTAL = """
+SELECT event_id, user_id,
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       )::BIGINT AS cum_q
+FROM events ORDER BY event_id
+"""
+
+
+def _q_incremental_dedup(sf_dir: str) -> pa.Table:
+    """Day-2 ingestion dedup (pipelines.dedup.dedup_against_reference):
+    the reference corpus is the even-doc_id half's md5(text) hashes
+    (computed distributed, collected small, broadcast once); the full
+    table filters against it with vectorized is_in — surviving doc_ids.
+    Oracle: NOT IN over the same md5 closed form."""
+    _ctx()
+    import hashlib
+
+    from spider_ray.pipelines.dedup import dedup_against_reference
+
+    def add_md5(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "content_md5": pa.array(
+                    [hashlib.md5((t or "").encode()).hexdigest() for t in texts],
+                    pa.string(),
+                ),
+            }
+        )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        add_md5, batch_format="pyarrow"
+    )
+    import pyarrow.compute as pc
+
+    evens = docs.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0)
+        ).select(["content_md5"]),
+        batch_format="pyarrow",
+    )
+    ref_hashes = _collect(evens).column("content_md5").combine_chunks()
+    surviving = dedup_against_reference(docs, ref_hashes)
+    return _collect(
+        surviving.map_batches(
+            lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+        )
+    ).sort_by("doc_id")
+
+
+_SQL_INCREMENTAL_DEDUP = """
+SELECT doc_id FROM documents
+WHERE md5(text) NOT IN (
+  SELECT md5(text) FROM documents WHERE doc_id % 2 = 0
+)
+ORDER BY doc_id
+"""
+
+
 def _q_approx_value_quantiles(sf_dir: str) -> pa.Table:
     """Mergeable approximate quantiles over events.value
     (pipelines.sketches.approx_quantiles): per-block weighted grid
@@ -2641,6 +2727,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "connected_components": _q_connected_components,
         "tfidf_topk": _q_tfidf_topk,
+        "events_running_total": _q_events_running_total,
+        "incremental_dedup": _q_incremental_dedup,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "distinct_users_per_type": _q_distinct_users_per_type,
         "kmeans_embeddings": _q_kmeans_embeddings,
@@ -2706,6 +2794,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _SQL_PAGERANK,
         "connected_components": _SQL_CONNECTED_COMPONENTS,
         "tfidf_topk": _SQL_TFIDF_TOPK,
+        "events_running_total": _SQL_EVENTS_RUNNING_TOTAL,
+        "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "distinct_users_per_type": _SQL_DISTINCT_USERS_PER_TYPE,
         "tpch_q3ish": _SQL_TPCH_Q3ISH,
         "user_event_arrays": _SQL_USER_EVENT_ARRAYS,

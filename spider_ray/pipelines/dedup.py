@@ -662,3 +662,30 @@ def embedding_neardup_pairs(
     pairs["id_a"] = pairs["id_a"].astype("int64")
     pairs["id_b"] = pairs["id_b"].astype("int64")
     return pa.Table.from_pandas(pairs.reset_index(drop=True), preserve_index=False)
+
+
+def dedup_against_reference(ds, ref_hashes, hash_col: str = "content_md5"):
+    """Incremental dedup: drop rows whose content hash already exists in
+    a PRIOR corpus (the day-2 ingestion problem — new crawl vs existing
+    lake). The reference hash set ships once via ``ray.put`` and each
+    batch filters with a vectorized ``pc.is_in`` — no shuffle, no
+    re-read of the old corpus (its hash column is assumed extracted,
+    e.g. from parquet column pruning). Scale bound: the hash set must
+    fit the object store (10^9 md5-hex ≈ 32 GB; use the sharded
+    seen-actor path beyond that). Returns the surviving rows."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    if not isinstance(ref_hashes, pa.Array):
+        ref_hashes = pa.array(list(ref_hashes), pa.string())
+    ref = ray.put(ref_hashes)
+
+    def keep_new(batch: pa.Table) -> pa.Table:
+        seen = ray.get(ref)
+        mask = pc.fill_null(
+            pc.is_in(batch.column(hash_col), value_set=seen), False
+        )
+        return batch.filter(pc.invert(mask))
+
+    return ds.map_batches(keep_new, batch_format="pyarrow")

@@ -312,3 +312,33 @@ def global_topk(ds, k: int, sort_keys: list[tuple[str, str]]):
         return ds.schema().empty_table()
     merged = pa.concat_tables(parts).combine_chunks()
     return merged.sort_by(sort_keys).slice(0, k)
+
+
+def running_total(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    scale: int = 100,
+):
+    """Per-key cumulative sum — SUM(value) OVER (PARTITION BY key ORDER
+    BY ts, id ROWS UNBOUNDED PRECEDING) — as the partition-sort-scan
+    shape. Values are fixed-point-quantized BEFORE accumulation
+    (floor(v·scale + 0.5)) so the running sums are integer-exact and
+    engine-independent. Output: (id, key, cum_q)."""
+
+    def per_key(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values([ts_col, id_col], kind="mergesort")
+        q = np.floor(
+            group[value_col].to_numpy(dtype=np.float64) * scale + 0.5
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: group[id_col].to_numpy(),
+                key_col: group[key_col].to_numpy(),
+                "cum_q": np.cumsum(q),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
