@@ -1984,7 +1984,10 @@ def _q_tpch_q3ish(sf_dir: str) -> pa.Table:
         batch_format="pyarrow",
     )
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    orders_f = semi_anti_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    # c_custkey is a PK → skip the global-dedupe groupby in the probe
+    orders_f = semi_anti_join(
+        orders, cust, on="o_custkey", right_on="c_custkey", global_dedupe=False
+    )
 
     def prep_line(batch: pa.Table) -> pa.Table:
         price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)

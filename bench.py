@@ -115,6 +115,7 @@ def run_bench() -> dict:
         "partitioned_join",
         "broadcast_revenue",
         "events_hour_agg",
+        "events_running_total",
         "ann_topk",
         "simhash_pairs",
         "minhash_pairs",

@@ -246,7 +246,8 @@ def preagg_sum(ds, keys: list[str], sum_cols: list[str], count_alias: str | None
     return partials.groupby(keys).aggregate(*aggs)
 
 
-def semi_anti_join(ds, right_ds, on: str, anti: bool = False, right_on: str | None = None):
+def semi_anti_join(ds, right_ds, on: str, anti: bool = False, right_on: str | None = None,
+                   global_dedupe: bool = True):
     """Semi join (EXISTS filter) or anti join (NOT EXISTS) of ``ds``
     against the distinct keys of ``right_ds``.
 
@@ -262,15 +263,19 @@ def semi_anti_join(ds, right_ds, on: str, anti: bool = False, right_on: str | No
     import pyarrow.compute as pc
 
     r_on = right_on or on
-    distinct = (
-        right_ds.map_batches(
-            lambda t: pa.table({r_on: t.column(r_on).unique()}),
-            batch_format="pyarrow",
-        )
-        .groupby(r_on)
-        .count()
+    uniq = right_ds.map_batches(
+        lambda t: pa.table({r_on: t.column(r_on).unique()}),
+        batch_format="pyarrow",
     )
-    key_tbl = pa.concat_tables(ray.get(distinct.to_arrow_refs()))
+    if global_dedupe:
+        # exact global distinct (one small exchange of unique keys)
+        uniq = uniq.groupby(r_on).count()
+    # else: per-batch-unique only — cross-batch duplicates merely inflate
+    # the broadcast a little and is_in is insensitive to them; skips a
+    # groupby when the right key is already (near-)unique, e.g. a PK
+    key_tbl = pa.concat_tables(
+        t for t in ray.get(uniq.to_arrow_refs()) if t.num_rows
+    )
     ref = ray.put(key_tbl.column(r_on).combine_chunks())
 
     def filt(batch: pa.Table) -> pa.Table:
