@@ -1798,6 +1798,121 @@ ORDER BY doc_id, rank
 """
 
 
+def _q_events_ntile(sf_dir: str) -> pa.Table:
+    """NTILE(4) per event_type ordered by (value, event_id)
+    (pipelines.events.grouped_ntile) — the exact SQL tile-size rule
+    (first ``remainder`` tiles take the extra row)."""
+    _ctx()
+    from spider_ray.pipelines.events import grouped_ntile
+
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    out = grouped_ntile(ev, "event_type", "value", "event_id", n=4)
+    return _collect(
+        out.map_batches(
+            lambda t: pa.table(
+                {
+                    "event_id": t.column("event_id").cast(pa.int64()),
+                    "event_type": t.column("event_type"),
+                    "tile": t.column("tile").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    ).sort_by("event_id")
+
+
+_SQL_EVENTS_NTILE = """
+SELECT event_id, event_type,
+       ntile(4) OVER (
+         PARTITION BY event_type ORDER BY value, event_id
+       )::BIGINT AS tile
+FROM events ORDER BY event_id
+"""
+
+
+def _q_above_avg_customers(sf_dir: str) -> pa.Table:
+    """Customers whose order count exceeds the global mean order count —
+    the correlated-scalar-subquery shape: per-customer counts via one
+    pre-aggregated groupby, the global mean as integer cross-multiply
+    (n_cust · cnt > total_orders — no float division), filtered
+    map-only. Composes preagg_sum + a broadcast scalar."""
+    _ctx()
+    import pyarrow.compute as pc
+
+    from spider_ray.pipelines.relational import preagg_sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+        lambda t: t.append_column("one", pa.array([1] * t.num_rows, pa.int64())),
+        batch_format="pyarrow",
+    )
+    counts = preagg_sum(orders, ["o_custkey"], ["one"])
+    tbl = _collect(
+        counts.map_batches(
+            lambda t: t.rename_columns(["o_custkey", "cnt"]), batch_format="pyarrow"
+        )
+    )
+    n_cust = tbl.num_rows
+    total = int(pc.sum(tbl.column("cnt")).as_py())
+    mask = pc.greater(
+        pc.multiply(tbl.column("cnt").cast(pa.int64()), pa.scalar(n_cust, pa.int64())),
+        pa.scalar(total, pa.int64()),
+    )
+    out = tbl.filter(mask)
+    return pa.table(
+        {
+            "o_custkey": out.column("o_custkey"),
+            "cnt": out.column("cnt").cast(pa.int64()),
+        }
+    ).sort_by("o_custkey")
+
+
+_SQL_ABOVE_AVG_CUSTOMERS = """
+WITH c AS (
+  SELECT o_custkey, count(*)::BIGINT AS cnt FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, cnt FROM c
+WHERE cnt * (SELECT count(*) FROM c) > (SELECT sum(cnt) FROM c)
+ORDER BY o_custkey
+"""
+
+
+def _q_click_and_purchase_users(sf_dir: str) -> pa.Table:
+    """Set intersection of two derived key sets (users who clicked AND
+    made a high-value purchase): each side reduces to distinct user ids
+    with the unique-combiner, the smaller side broadcasts, the other
+    filters with is_in (relational.semi_anti_join) — INTERSECT without
+    a shuffle of either fact scan."""
+    _ctx()
+    import pyarrow.compute as pc
+
+    from spider_ray.pipelines.relational import semi_anti_join
+
+    def side(event_type: str, min_value: float | None = None):
+        def prep(t: pa.Table, et=event_type, mv=min_value) -> pa.Table:
+            mask = pc.equal(t.column("event_type"), et)
+            if mv is not None:
+                mask = pc.and_(mask, pc.greater(t.column("value"), mv))
+            return pa.table({"user_id": t.filter(mask).column("user_id").unique()})
+
+        return _read(
+            sf_dir, "events", columns=["user_id", "event_type", "value"]
+        ).map_batches(prep, batch_format="pyarrow")
+
+    clicks, purchases = side("click"), side("purchase", min_value=95.0)
+    both = semi_anti_join(clicks, purchases, on="user_id")
+    uniq = _collect(both).column("user_id").unique()
+    return pa.table({"user_id": uniq}).sort_by("user_id")
+
+
+_SQL_CLICK_AND_PURCHASE = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'purchase' AND value > 95
+ORDER BY user_id
+"""
+
+
 def _q_events_running_total(sf_dir: str) -> pa.Table:
     """Per-user running total (pipelines.events.running_total): the SUM
     OVER (PARTITION BY ... ROWS UNBOUNDED PRECEDING) window as
@@ -2730,6 +2845,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "connected_components": _q_connected_components,
         "tfidf_topk": _q_tfidf_topk,
+        "events_ntile": _q_events_ntile,
+        "above_avg_customers": _q_above_avg_customers,
+        "click_and_purchase_users": _q_click_and_purchase_users,
         "events_running_total": _q_events_running_total,
         "incremental_dedup": _q_incremental_dedup,
         "approx_value_quantiles": _q_approx_value_quantiles,
@@ -2797,6 +2915,9 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _SQL_PAGERANK,
         "connected_components": _SQL_CONNECTED_COMPONENTS,
         "tfidf_topk": _SQL_TFIDF_TOPK,
+        "events_ntile": _SQL_EVENTS_NTILE,
+        "above_avg_customers": _SQL_ABOVE_AVG_CUSTOMERS,
+        "click_and_purchase_users": _SQL_CLICK_AND_PURCHASE,
         "events_running_total": _SQL_EVENTS_RUNNING_TOTAL,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "distinct_users_per_type": _SQL_DISTINCT_USERS_PER_TYPE,

@@ -342,3 +342,32 @@ def running_total(
         )
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def grouped_ntile(
+    ds,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n: int = 4,
+):
+    """SQL NTILE(n) OVER (PARTITION BY group ORDER BY value, id): each
+    group's rows sort once in the owning task and split into n maximal-
+    evenness buckets (first ``remainder`` buckets get the extra row —
+    the exact SQL tile rule). Output: (id, group, tile 1-based)."""
+
+    def per_group(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([value_col, id_col], kind="mergesort")
+        cnt = len(g)
+        base, rem = divmod(cnt, n)
+        sizes = [base + 1 if i < rem else base for i in range(n)]
+        tiles = np.repeat(np.arange(1, n + 1), sizes)[:cnt]
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                group_col: g[group_col].to_numpy(),
+                "tile": tiles.astype(np.int64),
+            }
+        )
+
+    return ds.groupby(group_col).map_groups(per_group, batch_format="pandas")
