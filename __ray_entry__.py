@@ -1798,6 +1798,68 @@ ORDER BY doc_id, rank
 """
 
 
+def _q_left_outer_join(sf_dir: str) -> pa.Table:
+    """LEFT OUTER bucketed hash join (relational.bucketed_hash_join,
+    how="left"): customers ⟕ their finished ('F') orders — unmatched
+    customers keep a NULL order key (COALESCE'd to -1 on both sides so
+    nulls survive the value-hash gate). Outer correctness per bucket
+    follows from hash co-location of every key's rows."""
+    _ctx()
+    import pyarrow.compute as pc
+
+    from spider_ray.pipelines.relational import bucketed_hash_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders_f = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderstatus"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t.filter(
+                    pc.equal(t.column("o_orderstatus"), "F")
+                ).column("o_custkey"),
+                "o_orderkey": t.filter(
+                    pc.equal(t.column("o_orderstatus"), "F")
+                ).column("o_orderkey"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_hash_join(
+        cust,
+        orders_f,
+        on="c_custkey",
+        left_cols=["c_mktsegment"],
+        right_cols=["o_orderkey"],
+        how="left",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": batch.column("c_custkey").cast(pa.int64()),
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "o_orderkey": pc.fill_null(
+                    batch.column("o_orderkey").cast(pa.int64(), safe=False), -1
+                ),
+            }
+        )
+
+    return _collect(joined.map_batches(finish, batch_format="pyarrow")).sort_by(
+        [("c_custkey", "ascending"), ("o_orderkey", "ascending")]
+    )
+
+
+_SQL_LEFT_OUTER_JOIN = """
+SELECT c.c_custkey, c.c_mktsegment,
+       COALESCE(o.o_orderkey, -1)::BIGINT AS o_orderkey
+FROM customer c
+LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+  ON o.o_custkey = c.c_custkey
+ORDER BY c_custkey, o_orderkey
+"""
+
+
 def _q_events_ntile(sf_dir: str) -> pa.Table:
     """NTILE(4) per event_type ordered by (value, event_id)
     (pipelines.events.grouped_ntile) — the exact SQL tile-size rule
@@ -2845,6 +2907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "connected_components": _q_connected_components,
         "tfidf_topk": _q_tfidf_topk,
+        "left_outer_join": _q_left_outer_join,
         "events_ntile": _q_events_ntile,
         "above_avg_customers": _q_above_avg_customers,
         "click_and_purchase_users": _q_click_and_purchase_users,
@@ -2915,6 +2978,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _SQL_PAGERANK,
         "connected_components": _SQL_CONNECTED_COMPONENTS,
         "tfidf_topk": _SQL_TFIDF_TOPK,
+        "left_outer_join": _SQL_LEFT_OUTER_JOIN,
         "events_ntile": _SQL_EVENTS_NTILE,
         "above_avg_customers": _SQL_ABOVE_AVG_CUSTOMERS,
         "click_and_purchase_users": _SQL_CLICK_AND_PURCHASE,

@@ -42,12 +42,17 @@ def bucketed_hash_join(
     left_cols: list[str],
     right_cols: list[str],
     n_buckets: int = 32,
+    how: str = "inner",
 ):
     """Partitioned hash join of two large Datasets on an int key.
 
     ``left_cols``/``right_cols`` are the non-key payload columns of each
     side (explicit — the tagged union null-fills the other side's columns,
-    so the in-bucket merge must select per side)."""
+    so the in-bucket merge must select per side). ``how`` is "inner" or
+    "left" (left-outer: unmatched left rows keep nulls on the right
+    payload — correct per bucket because hash partitioning co-locates ALL
+    rows of a key, so an unmatched-in-bucket left row is unmatched
+    globally)."""
 
     def _ensure_arrow(ds):
         """(ds, arrow schema) — pandas-block datasets get a zero-work
@@ -93,7 +98,7 @@ def bucketed_hash_join(
         l = group[group["__side"] == "L"][[on, *left_cols]]
         r = group[group["__side"] == "R"][[on, *right_cols]]
         # merge even when one side is empty — stable schema for every bucket
-        return l.merge(r, on=on, how="inner")
+        return l.merge(r, on=on, how=how)
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 
