@@ -249,3 +249,49 @@ def test_image_stages(ray_session):
     assert all(len(v) == ImageEmbed.DIM for v in out["img_embedding"])
     # decode-stats phash equals the stored phash (same decoded pixels)
     assert (out["dec_phash"] == out["phash"]).all()
+
+
+def test_dedup_against_reference_drops_seen_hashes(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from spider_ray.pipelines.dedup import dedup_against_reference
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "content_md5": pa.array(
+                ["a", "b", "c", "a", None, "d"], pa.string()
+            ),
+        }
+    )
+    out = (
+        dedup_against_reference(ray.data.from_arrow(tbl), ["a", "c"])
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # 'a' (twice) and 'c' dropped; NULL hash is kept (never matches)
+    assert out["doc_id"].tolist() == [1, 4, 5]
+
+
+def test_ngram_counts_min_count_pruning(ray_session):
+    import pyarrow as pa
+    import ray
+    from collections import Counter
+
+    from spider_ray.pipelines.textops import ngram_counts
+
+    texts = ["a b c a b", "b c a b", "x y"] * 4
+    tbl = pa.table({"text": pa.array(texts, pa.string())})
+    out = (
+        ngram_counts(ray.data.from_arrow(tbl).repartition(3), n=2, min_count=5)
+        .to_pandas()
+        .set_index("ngram")["count"]
+        .to_dict()
+    )
+    ref = Counter()
+    for t in texts:
+        toks = t.split()
+        ref.update(" ".join(toks[i : i + 2]) for i in range(len(toks) - 1))
+    expect = {k: v for k, v in ref.items() if v >= 5}
+    assert out == expect

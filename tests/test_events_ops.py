@@ -220,3 +220,53 @@ def test_global_topk_matches_full_sort(ray_session):
     got = global_topk(ray.data.from_arrow(tbl).repartition(13), 25, keys)
     expect = tbl.sort_by(keys).slice(0, 25)
     assert got.equals(expect)
+
+
+def test_running_total_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from spider_ray.pipelines.events import running_total
+
+    rng = np.random.default_rng(17)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 9, size=n).astype(np.int64),
+            "ts": pd.to_datetime(rng.integers(0, 10**8, size=n) * 1000, unit="us"),
+            "value": rng.uniform(0, 50, size=n),
+        }
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = running_total(ds).to_pandas().sort_values("event_id").reset_index(drop=True)
+
+    ref = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort").copy()
+    ref["q"] = np.floor(ref["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    ref["cum_q"] = ref.groupby("user_id")["q"].cumsum()
+    ref = ref.sort_values("event_id").reset_index(drop=True)
+    assert out["cum_q"].astype("int64").tolist() == ref["cum_q"].tolist()
+
+
+def test_grouped_ntile_tile_rule(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from spider_ray.pipelines.events import grouped_ntile
+
+    # 10 rows in one group → NTILE(4) sizes must be 3,3,2,2
+    tbl = pa.table(
+        {
+            "g": pa.array(["a"] * 10, pa.string()),
+            "id": pa.array(range(10), pa.int64()),
+            "v": pa.array([5.0] * 10, pa.float64()),  # all ties → id order
+        }
+    )
+    out = (
+        grouped_ntile(ray.data.from_arrow(tbl), "g", "v", "id", n=4)
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert out["tile"].tolist() == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
