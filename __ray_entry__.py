@@ -2259,6 +2259,39 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def _q_chunk_documents(sf_dir: str) -> pa.Table:
+    """RAG chunking (pipelines.textops.chunk_documents): 50-token
+    windows, 10-token overlap (stride 40), map-only. Oracle reproduces
+    window boundaries with DuckDB range() + 1-indexed list slicing over
+    the same tokenizer."""
+    _ctx()
+    from spider_ray.pipelines.textops import chunk_documents
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return _collect(chunk_documents(docs)).sort_by(
+        [("doc_id", "ascending"), ("chunk_id", "ascending")]
+    )
+
+
+_SQL_CHUNK_DOCUMENTS = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, toks,
+         unnest(range(0, len(toks), 40)) AS start
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+       (start // 40)::BIGINT AS chunk_id,
+       start::BIGINT AS start_tok,
+       (least(start + 50, len(toks)) - start)::BIGINT AS n_tokens,
+       toks[start + 1] AS first_token,
+       toks[least(start + 50, len(toks))] AS last_token
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
 def _q_bigram_counts(sf_dir: str) -> pa.Table:
     """Corpus bigram count table (pipelines.textops.ngram_counts,
     min_count=3): per-batch Counter combiner, one vocab-bounded
@@ -2918,6 +2951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": _q_kmeans_embeddings,
         "tpch_q3ish": _q_tpch_q3ish,
         "user_event_arrays": _q_user_event_arrays,
+        "chunk_documents": _q_chunk_documents,
         "bigram_counts": _q_bigram_counts,
         "embedding_centroids": _q_embedding_centroids,
         "partitioned_sink": _q_partitioned_sink,
@@ -2987,6 +3021,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_per_type": _SQL_DISTINCT_USERS_PER_TYPE,
         "tpch_q3ish": _SQL_TPCH_Q3ISH,
         "user_event_arrays": _SQL_USER_EVENT_ARRAYS,
+        "chunk_documents": _SQL_CHUNK_DOCUMENTS,
         "bigram_counts": _SQL_BIGRAM_COUNTS,
         "embedding_centroids": _SQL_EMBEDDING_CENTROIDS,
         "partitioned_sink": _SQL_PARTITIONED_SINK,

@@ -317,3 +317,58 @@ def ngram_counts(
         return out
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def chunk_documents(
+    ds,
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """RAG-style document chunking: overlapping token windows of
+    ``chunk_tokens`` with ``overlap`` carried over (stride =
+    chunk_tokens - overlap), over the engine-wide [a-z0-9]+ lowercase
+    vocabulary. Map-only (no exchange) — chunking is the canonical
+    pre-embedding step of a retrieval corpus build. Output one row per
+    chunk: (id, chunk_id, start_tok, n_tokens, first_token,
+    last_token); the text payload is intentionally NOT duplicated per
+    chunk (at 100 TB, chunk text re-slices from the source table by
+    (id, start_tok) — emitting it here would inflate the corpus
+    ~2× with the default overlap)."""
+    global _VOCAB_RE
+    if _VOCAB_RE is None:
+        import re
+
+        _VOCAB_RE = re.compile(r"[a-z0-9]+")
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids, cids, starts, ns, firsts, lasts = [], [], [], [], [], []
+        for doc_id, t in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            toks = _VOCAB_RE.findall(t.lower()) if t else []
+            n = len(toks)
+            for ci, start in enumerate(range(0, n, stride)):
+                end = min(start + chunk_tokens, n)
+                ids.append(doc_id)
+                cids.append(ci)
+                starts.append(start)
+                ns.append(end - start)
+                firsts.append(toks[start])
+                lasts.append(toks[end - 1])
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "chunk_id": pa.array(cids, pa.int64()),
+                "start_tok": pa.array(starts, pa.int64()),
+                "n_tokens": pa.array(ns, pa.int64()),
+                "first_token": pa.array(firsts, pa.string()),
+                "last_token": pa.array(lasts, pa.string()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
