@@ -1606,9 +1606,11 @@ def _q_pagerank(sf_dir: str) -> pa.Table:
     crawl-order oracle walks). Thin caller over
     spider_ray.pipelines.graph.pagerank: ranks live as a hash-partitioned
     Dataset; each superstep is one bucketed edges⋈ranks join plus one
-    groupby-sum — never a driver-side graph. Ranks ship as integer
-    parts-per-billion (the repo's cents trick) so order-dependent float
-    summation can't flip the value hash."""
+    groupby-sum — never a driver-side graph. Ranks are integer fixed-point
+    on the 2^-40 grid with per-edge quantization BEFORE each sum
+    (associative integer addition — bit-identical at any parallelism and
+    mirrored exactly by the SQL oracle; ADVICE r2: round-after-float-sum
+    relied on rounding slack absorbing non-associativity)."""
     _ctx()
     import numpy as np
 
@@ -1632,14 +1634,16 @@ def _q_pagerank(sf_dir: str) -> pa.Table:
     ranks = pagerank(edges, nodes, n_nodes=n, n_iter=5)
 
     def to_ppb(batch: pa.Table) -> pa.Table:
-        r = batch.column("rank").to_numpy(zero_copy_only=False)
+        rq = batch.column("rank_q").to_numpy(zero_copy_only=False).astype(np.float64)
         return pa.table(
             {
                 # pandas null-filling in the bucketed join upcasts int keys
                 # to double — restore the driver-facing int64 node id
                 "node": batch.column("node").cast(pa.int64()),
+                # ppb from the 2^-40 integer grid; same expression in SQL
                 "rank_ppb": pa.array(
-                    np.round(r * 1e9).astype(np.int64), pa.int64()
+                    np.floor(rq / float(1 << 40) * 1e9 + 0.5).astype(np.int64),
+                    pa.int64(),
                 ),
             }
         )
@@ -1648,7 +1652,14 @@ def _q_pagerank(sf_dir: str) -> pa.Table:
 
 
 _SQL_PAGERANK = """
-WITH params AS (SELECT count(*)::BIGINT AS n FROM documents),
+WITH params AS (
+  SELECT count(*)::BIGINT AS n,
+         -- 2^40 fixed-point grid, mirrored from pipelines/graph.py pagerank:
+         -- integer ranks, per-edge contributions quantized BEFORE each sum
+         CAST(floor(1099511627776.0 / count(*) + 0.5) AS BIGINT) AS r0q,
+         CAST(floor((1.0 - 0.85) * 1099511627776.0 / count(*) + 0.5) AS BIGINT) AS tq
+  FROM documents
+),
 raw_edges AS (
   SELECT d.doc_id AS src,
          unnest([(2*d.doc_id+1) % p.n, (3*d.doc_id+7) % p.n,
@@ -1657,53 +1668,53 @@ raw_edges AS (
 ),
 edges AS (SELECT DISTINCT src, dst FROM raw_edges),
 deg AS (SELECT src, count(*)::DOUBLE AS deg FROM edges GROUP BY src),
-r0 AS (SELECT d.doc_id AS node, 1.0 / p.n AS rank FROM documents d, params p),
+r0 AS (SELECT d.doc_id AS node, p.r0q AS rank FROM documents d, params p),
 r1 AS (
   SELECT d.doc_id AS node,
-         0.15 / p.n + 0.85 * COALESCE(SUM(r.rank / g.deg), 0) AS rank
+         p.tq + COALESCE(SUM(CAST(floor(0.85 * r.rank / g.deg + 0.5) AS BIGINT)), 0) AS rank
   FROM documents d CROSS JOIN params p
   LEFT JOIN edges e ON e.dst = d.doc_id
   LEFT JOIN r0 r ON r.node = e.src
   LEFT JOIN deg g ON g.src = e.src
-  GROUP BY d.doc_id, p.n
+  GROUP BY d.doc_id, p.tq
 ),
 r2 AS (
   SELECT d.doc_id AS node,
-         0.15 / p.n + 0.85 * COALESCE(SUM(r.rank / g.deg), 0) AS rank
+         p.tq + COALESCE(SUM(CAST(floor(0.85 * r.rank / g.deg + 0.5) AS BIGINT)), 0) AS rank
   FROM documents d CROSS JOIN params p
   LEFT JOIN edges e ON e.dst = d.doc_id
   LEFT JOIN r1 r ON r.node = e.src
   LEFT JOIN deg g ON g.src = e.src
-  GROUP BY d.doc_id, p.n
+  GROUP BY d.doc_id, p.tq
 ),
 r3 AS (
   SELECT d.doc_id AS node,
-         0.15 / p.n + 0.85 * COALESCE(SUM(r.rank / g.deg), 0) AS rank
+         p.tq + COALESCE(SUM(CAST(floor(0.85 * r.rank / g.deg + 0.5) AS BIGINT)), 0) AS rank
   FROM documents d CROSS JOIN params p
   LEFT JOIN edges e ON e.dst = d.doc_id
   LEFT JOIN r2 r ON r.node = e.src
   LEFT JOIN deg g ON g.src = e.src
-  GROUP BY d.doc_id, p.n
+  GROUP BY d.doc_id, p.tq
 ),
 r4 AS (
   SELECT d.doc_id AS node,
-         0.15 / p.n + 0.85 * COALESCE(SUM(r.rank / g.deg), 0) AS rank
+         p.tq + COALESCE(SUM(CAST(floor(0.85 * r.rank / g.deg + 0.5) AS BIGINT)), 0) AS rank
   FROM documents d CROSS JOIN params p
   LEFT JOIN edges e ON e.dst = d.doc_id
   LEFT JOIN r3 r ON r.node = e.src
   LEFT JOIN deg g ON g.src = e.src
-  GROUP BY d.doc_id, p.n
+  GROUP BY d.doc_id, p.tq
 ),
 r5 AS (
   SELECT d.doc_id AS node,
-         0.15 / p.n + 0.85 * COALESCE(SUM(r.rank / g.deg), 0) AS rank
+         p.tq + COALESCE(SUM(CAST(floor(0.85 * r.rank / g.deg + 0.5) AS BIGINT)), 0) AS rank
   FROM documents d CROSS JOIN params p
   LEFT JOIN edges e ON e.dst = d.doc_id
   LEFT JOIN r4 r ON r.node = e.src
   LEFT JOIN deg g ON g.src = e.src
-  GROUP BY d.doc_id, p.n
+  GROUP BY d.doc_id, p.tq
 )
-SELECT node, CAST(round(rank * 1e9) AS BIGINT) AS rank_ppb
+SELECT node, CAST(floor(rank / 1099511627776.0 * 1000000000.0 + 0.5) AS BIGINT) AS rank_ppb
 FROM r5 ORDER BY node
 """
 
@@ -2673,7 +2684,11 @@ def _q_events_asof_join(sf_dir: str) -> pa.Table:
             "event_id": pa.array(joined["event_id"].astype("int64")),
             "user_id": pa.array(joined["user_id"].astype("int64")),
             "snap_ts_us": pa.array(
-                joined["ts_right"].astype("int64") // 1, pa.int64()
+                # explicit µs: arrow timestamps materialize in pandas as ns
+                # or µs depending on source — astype('int64') alone would be
+                # silently 1000× off in the ns case
+                joined["ts_right"].to_numpy(dtype="datetime64[us]").astype("int64"),
+                pa.int64(),
             ),
             "snap_cents": pa.array(joined["snap_cents"].astype("int64")),
         }

@@ -204,8 +204,12 @@ def run_scaling() -> dict:
         [0, ncpu) and engine-hot-path burners on every remaining core, so
         EVERY leg — whatever its size — runs in the same all-cores-busy
         envelope (what each node of a real cluster sees)."""
-        if ncpu >= 32:
-            return run_once(32)
+        total = os.cpu_count() or 32
+        if ncpu >= total:
+            # full-box leg: all cores busy by construction, but still pin it
+            # so hosts larger than the Ray cpu budget don't let the leg
+            # spill onto unpinned cores
+            return run_once(ncpu, pin=f"0-{ncpu - 1}")
         burners = [
             subprocess.Popen(
                 ["taskset", "-c", str(c), sys.executable,
@@ -213,7 +217,7 @@ def run_scaling() -> dict:
                 stdout=subprocess.DEVNULL,
                 stderr=subprocess.DEVNULL,
             )
-            for c in range(ncpu, 32)
+            for c in range(ncpu, total)
         ]
         try:
             import time as _t
@@ -344,7 +348,7 @@ def run_calibration() -> dict:
     probe(200)  # warm imports/caches
     solo = min(probe() for _ in range(3))
     stop = time.time() + 10
-    procs = [mp.Process(target=burn, args=(stop,)) for _ in range(31)]
+    procs = [mp.Process(target=burn, args=(stop,)) for _ in range((os.cpu_count() or 32) - 1)]
     for p in procs:
         p.start()
     time.sleep(3)

@@ -143,36 +143,49 @@ def pagerank(
     ``edges_ds``: distinct (src:int64, dst:int64); ``nodes_ds``: (node)
     one row per node (teleport base — nodes with no in-links still get
     (1-d)/n). Dangling mass (nodes with no out-links) is dropped, the
-    plain power-iteration formulation the SQL oracle mirrors. Returns a
-    Dataset (node, rank) after ``n_iter`` supersteps."""
+    plain power-iteration formulation the SQL oracle mirrors.
+
+    Ranks are carried as INTEGER fixed-point on the 2^-40 grid
+    (``rank_q = floor(rank · 2^40 + 0.5)``): every per-edge contribution
+    is quantized BEFORE the groupby-sum, so the distributed float
+    summation is replaced by associative integer addition — bit-identical
+    at any parallelism and exactly mirrorable in SQL (the same trick as
+    embedding_centroids/kmeans; ADVICE r2: relying on 1e-9 rounding slack
+    to absorb float non-associativity can flip a value-hash near a .5
+    boundary). Returns a Dataset (node, rank_q:int64); callers convert
+    with rank = rank_q / 2^40."""
     deg = out_degrees(edges_ds)
     edges_deg = bucketed_hash_join(
         edges_ds, deg, on="src", left_cols=["dst"], right_cols=["deg"],
         n_buckets=n_buckets,
     ).materialize()
 
-    r0 = 1.0 / n_nodes
+    # fixed-point grid: 2^40 is exact in float64, keeps every quantity
+    # (ranks sum to ~2^40 ≈ 1.1e12) far below 2^53 float-exactness
+    SCALE = float(1 << 40)
+    r0_q = int(np.floor(SCALE / n_nodes + 0.5))
 
     def init_ranks(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "src": batch.column("node"),
                 "rank": pa.array(
-                    np.full(batch.num_rows, r0, dtype=np.float64), pa.float64()
+                    np.full(batch.num_rows, r0_q, dtype=np.int64), pa.int64()
                 ),
             }
         )
 
     ranks = nodes_ds.map_batches(init_ranks, batch_format="pyarrow").materialize()
-    teleport = (1.0 - damping) / n_nodes
+    # teleport, quantized once: floor((1-d)·S / n + 0.5)
+    teleport_q = int(np.floor((1.0 - damping) * SCALE / n_nodes + 0.5))
 
     def base_rows(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "node": batch.column("node"),
                 "part": pa.array(
-                    np.full(batch.num_rows, teleport, dtype=np.float64),
-                    pa.float64(),
+                    np.full(batch.num_rows, teleport_q, dtype=np.int64),
+                    pa.int64(),
                 ),
             }
         )
@@ -180,12 +193,18 @@ def pagerank(
     base = nodes_ds.map_batches(base_rows, batch_format="pyarrow").materialize()
 
     def contribs(batch: pa.Table) -> pa.Table:
-        rank = batch.column("rank").to_numpy(zero_copy_only=False)
+        # per-edge quantized contribution: floor(d·rank_q/deg + 0.5) —
+        # the float expression is evaluated ONCE per row (order-free), the
+        # shuffle then sums exact integers
+        rank = batch.column("rank").to_numpy(zero_copy_only=False).astype(np.float64)
         degv = batch.column("deg").to_numpy(zero_copy_only=False).astype(np.float64)
         return pa.table(
             {
                 "node": batch.column("dst"),
-                "part": pa.array(damping * rank / degv, pa.float64()),
+                "part": pa.array(
+                    np.floor(damping * rank / degv + 0.5).astype(np.int64),
+                    pa.int64(),
+                ),
             }
         )
 
@@ -201,5 +220,5 @@ def pagerank(
         ).materialize()
 
     return ranks.map_batches(
-        lambda t: t.rename_columns(["node", "rank"]), batch_format="pyarrow"
+        lambda t: t.rename_columns(["node", "rank_q"]), batch_format="pyarrow"
     )

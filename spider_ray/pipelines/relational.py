@@ -183,7 +183,14 @@ def asof_join(
             ts, kind="mergesort"
         )
         if l.empty:
-            return pd.DataFrame(columns=out_cols)
+            # typed empty block — an all-object empty frame breaks Ray Data
+            # block schema unification against other buckets' typed blocks
+            return pa.table(
+                {
+                    c: pa.array([], _ASOF_TYPES[ts] if c == f"{ts}_right" else _ASOF_TYPES[c])
+                    for c in out_cols
+                }
+            ).to_pandas()
         r = r.assign(**{f"{ts}_right": r[ts]})
         merged = pd.merge_asof(l, r, on=ts, by=key, direction="backward")
         return merged[out_cols]
@@ -252,19 +259,28 @@ def preagg_sum(ds, keys: list[str], sum_cols: list[str], count_alias: str | None
 
 
 def semi_anti_join(ds, right_ds, on: str, anti: bool = False, right_on: str | None = None,
-                   global_dedupe: bool = True):
+                   global_dedupe: bool = True, broadcast_key_limit: int = 100_000_000,
+                   n_buckets: int = 64):
     """Semi join (EXISTS filter) or anti join (NOT EXISTS) of ``ds``
     against the distinct keys of ``right_ds``.
 
     The right side reduces to distinct keys with a per-batch ``unique``
-    combiner before one small groupby exchange (only unique keys move),
-    then the key column is broadcast once via ``ray.put``; each left
-    batch filters with ``pc.is_in`` — the fact side never shuffles.
-    NULL keys follow EXISTS semantics (never match: dropped by semi,
-    kept by anti). Scale bound: the distinct-key column must fit the
-    object store (10^9 int64 keys ≈ 8 GB); beyond that, run the
-    bucketed tagged-union exchange (bucketed_hash_join shape) with the
-    same per-bucket ``is_in`` probe."""
+    combiner before one small groupby exchange (only unique keys move).
+    Two physical plans, chosen by distinct-key count:
+
+    - **broadcast** (keys ≤ ``broadcast_key_limit``): the key column ships
+      once via ``ray.put``; each left batch filters with ``pc.is_in`` —
+      the fact side never shuffles. 10^8 int64 keys ≈ 0.8 GB.
+    - **bucketed exchange** (beyond the limit — int64 keys only): left
+      rows and right keys are tagged with ``hash(key) % n_buckets`` and
+      unioned; one ``groupby(bucket)`` co-locates each left row with ALL
+      right keys of its hash (same key ⇒ same bucket), so the per-bucket
+      ``isin`` probe is globally correct. Only keys move for the right
+      side; the left moves once — the same exchange a shuffle join pays.
+
+    NULL keys follow EXISTS semantics in both plans (never match:
+    dropped by semi, kept by anti). An EMPTY right side is legal: semi
+    returns zero rows, anti returns ``ds`` unchanged."""
     import pyarrow.compute as pc
 
     r_on = right_on or on
@@ -278,14 +294,73 @@ def semi_anti_join(ds, right_ds, on: str, anti: bool = False, right_on: str | No
     # else: per-batch-unique only — cross-batch duplicates merely inflate
     # the broadcast a little and is_in is insensitive to them; skips a
     # groupby when the right key is already (near-)unique, e.g. a PK
-    key_tbl = pa.concat_tables(
-        t for t in ray.get(uniq.to_arrow_refs()) if t.num_rows
+    uniq = uniq.materialize()
+    n_keys = uniq.count()
+
+    if n_keys == 0:
+        # EXISTS over an empty set: nothing matches
+        if anti:
+            return ds
+        return ds.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
+
+    l_schema = getattr(ds.schema(), "base_schema", None)
+    int_key = l_schema is not None and pa.types.is_integer(l_schema.field(on).type)
+    if n_keys <= broadcast_key_limit or not int_key:
+        key_tbl = pa.concat_tables(
+            t for t in ray.get(uniq.to_arrow_refs()) if t.num_rows
+        )
+        ref = ray.put(key_tbl.column(r_on).combine_chunks())
+
+        def filt(batch: pa.Table) -> pa.Table:
+            keys = ray.get(ref)
+            mask = pc.fill_null(pc.is_in(batch.column(on), value_set=keys), False)
+            return batch.filter(pc.invert(mask) if anti else mask)
+
+        return ds.map_batches(filt, batch_format="pyarrow")
+
+    # ---- bucketed tagged-union fallback (right key set too big to ship) --
+    left_cols = [f.name for f in l_schema]
+    ordered = ["__key", *left_cols, "__bucket", "__side"]
+    l_types = {c: l_schema.field(c).type for c in left_cols}
+
+    def _bucket_ids(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+        k = col.to_numpy(zero_copy_only=False)
+        nulls = pd.isna(k)
+        k = np.where(nulls, 0, k).astype(np.int64)
+        return pa.array(((k % n_buckets + n_buckets) % n_buckets).astype(np.int32))
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        arrays = {"__key": batch.column(on).cast(pa.int64())}
+        for c in left_cols:
+            arrays[c] = batch.column(c)
+        arrays["__bucket"] = _bucket_ids(batch.column(on))
+        arrays["__side"] = pa.array(["L"] * batch.num_rows, pa.string())
+        return pa.table({k: arrays[k] for k in ordered})
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        arrays = {"__key": batch.column(r_on).cast(pa.int64())}
+        for c in left_cols:
+            arrays[c] = pa.nulls(n, l_types[c])
+        arrays["__bucket"] = _bucket_ids(batch.column(r_on))
+        arrays["__side"] = pa.array(["R"] * n, pa.string())
+        return pa.table({k: arrays[k] for k in ordered})
+
+    both = ds.map_batches(tag_left, batch_format="pyarrow").union(
+        uniq.map_batches(tag_right, batch_format="pyarrow")
     )
-    ref = ray.put(key_tbl.column(r_on).combine_chunks())
 
-    def filt(batch: pa.Table) -> pa.Table:
-        keys = ray.get(ref)
-        mask = pc.fill_null(pc.is_in(batch.column(on), value_set=keys), False)
-        return batch.filter(pc.invert(mask) if anti else mask)
+    out_schema = pa.schema([(c, l_types[c]) for c in left_cols])
 
-    return ds.map_batches(filt, batch_format="pyarrow")
+    def probe_bucket(group: pd.DataFrame) -> pa.Table:
+        l = group[group["__side"] == "L"]
+        rkeys = group.loc[group["__side"] == "R", "__key"]
+        hit = l["__key"].isin(set(rkeys.tolist()))  # NaN keys → False
+        keep = l[~hit] if anti else l[hit]
+        # restore exact arrow types — the group block null-filled the other
+        # side's columns, upcasting int payloads to float in pandas
+        return pa.Table.from_pandas(
+            keep[left_cols], schema=out_schema, preserve_index=False, safe=False
+        )
+
+    return both.groupby("__bucket").map_groups(probe_bucket, batch_format="pandas")

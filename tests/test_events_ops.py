@@ -145,6 +145,65 @@ def test_semi_anti_join_partition(ray_session):
     assert len(semi) + len(anti) == left.num_rows
 
 
+def test_semi_anti_join_bucketed_fallback_matches_broadcast(ray_session):
+    """Force-low-threshold test (VERDICT r2 item 6): the bucketed
+    tagged-union exchange must partition the left side exactly like the
+    broadcast plan, including NULL-key EXISTS semantics."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from spider_ray.pipelines.relational import semi_anti_join
+
+    rng = np.random.default_rng(7)
+    lk = rng.integers(0, 50, size=400).astype("float64")
+    lk[::17] = np.nan  # NULL left keys: dropped by semi, kept by anti
+    left = pa.table(
+        {
+            "k": pa.array([None if np.isnan(x) else int(x) for x in lk], pa.int64()),
+            "v": pa.array([f"r{i}" for i in range(400)], pa.string()),
+        }
+    )
+    right = pa.table({"rk": pa.array(rng.integers(0, 50, size=60), pa.int64())})
+    lds = ray.data.from_arrow(left).repartition(4)
+    rds = ray.data.from_arrow(right).repartition(3)
+
+    for anti in (False, True):
+        broad = semi_anti_join(lds, rds, on="k", anti=anti, right_on="rk").to_pandas()
+        buck = semi_anti_join(
+            lds, rds, on="k", anti=anti, right_on="rk",
+            broadcast_key_limit=1, n_buckets=5,
+        ).to_pandas()
+        assert sorted(broad["v"]) == sorted(buck["v"])
+    # the two outputs partition the left exactly
+    semi = semi_anti_join(
+        lds, rds, on="k", right_on="rk", broadcast_key_limit=1
+    ).count()
+    anti_n = semi_anti_join(
+        lds, rds, on="k", anti=True, right_on="rk", broadcast_key_limit=1
+    ).count()
+    assert semi + anti_n == left.num_rows
+
+
+def test_semi_anti_join_empty_right(ray_session):
+    """ADVICE r2: an empty right side is legal — semi returns nothing,
+    anti returns the left side unchanged (no concat_tables crash)."""
+    import pyarrow as pa
+    import ray
+
+    from spider_ray.pipelines.relational import semi_anti_join
+
+    left = pa.table(
+        {"k": pa.array([1, 2, None], pa.int64()), "v": pa.array(list("abc"))}
+    )
+    empty_right = pa.table({"rk": pa.array([], pa.int64())})
+    lds = ray.data.from_arrow(left)
+    rds = ray.data.from_arrow(empty_right)
+    assert semi_anti_join(lds, rds, on="k", right_on="rk").count() == 0
+    anti = semi_anti_join(lds, rds, on="k", anti=True, right_on="rk").to_pandas()
+    assert sorted(anti["v"]) == ["a", "b", "c"]
+
+
 def test_heavy_hitters_exact_on_skewed_zipf(ray_session):
     import numpy as np
     import pandas as pd
