@@ -990,8 +990,10 @@ def _q_minhash_pairs(sf_dir: str) -> pa.Table:
     from spider_ray.pipelines.dedup import minhash_lsh_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = minhash_lsh_pairs(ds, verify_threshold=0.8)
-    return out.select(["id_a", "id_b"])
+    out = _collect(minhash_lsh_pairs(ds, verify_threshold=0.8))
+    return out.select(["id_a", "id_b"]).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")]
+    )
 
 
 def _q_simhash_pairs(sf_dir: str) -> pa.Table:
@@ -999,7 +1001,10 @@ def _q_simhash_pairs(sf_dir: str) -> pa.Table:
     from spider_ray.pipelines.dedup import simhash_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return simhash_pairs(ds).select(["id_a", "id_b", "hamming"])
+    out = _collect(simhash_pairs(ds))
+    return out.select(["id_a", "id_b", "hamming"]).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")]
+    )
 
 
 EMB_PLANT_EVERY = 37
@@ -1030,8 +1035,10 @@ def _q_embedding_neardup(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
         plant, batch_format="pyarrow"
     )
-    out = embedding_neardup_pairs(ds, threshold=0.95)
-    return out.select(["id_a", "id_b"])
+    out = _collect(embedding_neardup_pairs(ds, threshold=0.95))
+    return out.select(["id_a", "id_b"]).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")]
+    )
 
 
 _SQL_EMBEDDING_NEARDUP = f"""
@@ -1116,8 +1123,10 @@ def _q_ngram_jaccard(sf_dir: str) -> pa.Table:
     from spider_ray.pipelines.dedup import ngram_jaccard_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = ngram_jaccard_pairs(ds, threshold=0.6)
-    return out.select(["id_a", "id_b"])
+    out = _collect(ngram_jaccard_pairs(ds, threshold=0.6))
+    return out.select(["id_a", "id_b"]).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")]
+    )
 
 
 def _q_neardup_dedup(sf_dir: str) -> pa.Table:
@@ -1160,8 +1169,10 @@ def _q_phash_neardup(sf_dir: str) -> pa.Table:
                 }
             )
     ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
-    out = hash_band_pairs(ds, hash_col="phash", id_col="image_id", max_hamming=3)
-    return out.select(["id_a", "id_b", "hamming"])
+    out = _collect(hash_band_pairs(ds, hash_col="phash", id_col="image_id", max_hamming=3))
+    return out.select(["id_a", "id_b", "hamming"]).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")]
+    )
 
 
 def _q_image_training_table(sf_dir: str) -> pa.Table:
