@@ -986,6 +986,14 @@ def _q_fingerprints(sf_dir: str) -> pa.Table:
 
 
 def _q_minhash_pairs(sf_dir: str) -> pa.Table:
+    """MinHash-LSH near-dup pairs, verified at true Jaccard ≥ 0.8.
+
+    Oracle-backed by brute-force char-5-gram Jaccard in DuckDB
+    (``_SQL_SHINGLE_JACCARD_PAIRS``): every LSH candidate is verified with
+    the exact shingle Jaccard, so Ray ⊆ brute-force always; the data's
+    similarity gap (dup pairs J ≥ 0.92, everything else ≤ 0.34 at every
+    sf) puts banding recall at 1 − (1−J⁴)¹⁶ ≥ 1 − 2·10⁻⁹ per pair, and
+    equality is pinned empirically by this gate each round."""
     _ctx()
     from spider_ray.pipelines.dedup import minhash_lsh_pairs
 
@@ -996,7 +1004,74 @@ def _q_minhash_pairs(sf_dir: str) -> pa.Table:
     )
 
 
+def _sql_shingle_jaccard_pairs(threshold: float) -> str:
+    """Brute-force distinct char-5-gram Jaccard pairs — the exact closed
+    form of the hashed-shingle Jaccard the verify stage computes (64-bit
+    shingle-hash collisions are the only divergence; none at these doc
+    counts). Self-join on exploded shingles beats per-pair
+    ``list_intersect`` ~25× in DuckDB."""
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([substr(text, i, 5) for i in range(1, len(text) - 3)])) AS g
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE i::DOUBLE / (sa.n + sb.n - i) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+_SQL_MINHASH_PAIRS = _sql_shingle_jaccard_pairs(0.8)
+_SQL_NGRAM_JACCARD = _sql_shingle_jaccard_pairs(0.6)
+
+# Exact SQL replica of the SimHash pipeline: token hash = big-endian
+# uint64 of md5(token)[:8] (DuckDB hex-parses the same prefix), bit i of
+# the fingerprint set iff Σ±1 over tokens > 0, then brute-force
+# bit_count(xor) ≤ 3 over all pairs. The 4×16-bit pigeonhole banding the
+# Ray side uses has EXACT recall at hamming ≤ 3, so the sets are equal by
+# construction, not by data luck.
+_SQL_SIMHASH_PAIRS = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents
+),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+  FROM toks WHERE tok <> ''
+),
+bits AS (
+  SELECT doc_id, b AS bit,
+         SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b)
+  GROUP BY doc_id, b
+),
+sh AS (
+  SELECT d.doc_id,
+         COALESCE(SUM(CASE WHEN acc > 0 THEN (CAST(1 AS UBIGINT) << bit)
+                           ELSE CAST(0 AS UBIGINT) END), 0)::UBIGINT AS simhash
+  FROM documents d LEFT JOIN bits ON bits.doc_id = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
 def _q_simhash_pairs(sf_dir: str) -> pa.Table:
+    """SimHash hamming ≤ 3 pairs — oracle-backed by an exact SQL replica
+    (md5 token hashes + brute-force xor popcount; see _SQL_SIMHASH_PAIRS).
+    Pigeonhole banding recall is exact, so this is a hard equality gate on
+    the whole distributed path."""
     _ctx()
     from spider_ray.pipelines.dedup import simhash_pairs
 
@@ -1129,11 +1204,33 @@ def _q_ngram_jaccard(sf_dir: str) -> pa.Table:
     )
 
 
+_SQL_NEARDUP_DEDUP = f"""
+WITH RECURSIVE pairs AS (
+  {_sql_shingle_jaccard_pairs(0.8).replace("ORDER BY id_a, id_b", "")}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT e.a, r.r FROM edges e JOIN reach r ON r.node = e.b
+),
+canon AS (SELECT node, least(node, min(r)) AS c FROM reach GROUP BY node)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM canon WHERE node <> c)
+ORDER BY doc_id
+"""
+
+
 def _q_neardup_dedup(sf_dir: str) -> pa.Table:
-    """Full near-dup dedup loop: MinHash-LSH pairs → union-find connected
-    components → drop non-canonical members (pipelines.cluster). Returns
-    the kept doc ids (rows-only check: near-dup clusters at jaccard 0.8
-    are not SQL-expressible)."""
+    """Full near-dup dedup loop: MinHash-LSH pairs → connected components
+    (driver union-find or the distributed contraction, size-routed) →
+    drop non-canonical members (pipelines.cluster). Oracle: brute-force
+    Jaccard-0.8 pairs + recursive-CTE transitive closure with min-id
+    canonical members (_SQL_NEARDUP_DEDUP)."""
     _ctx()
     from spider_ray.pipelines.cluster import drop_non_canonical
     from spider_ray.pipelines.dedup import minhash_lsh_pairs
@@ -3073,7 +3170,12 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_agg": _SQL_LINEITEM_AGG,
         "embedding_neardup": _SQL_EMBEDDING_NEARDUP,
         "jpeg_transcode_conformance": _SQL_JPEG_TRANSCODE,
-        # lang_quality / fingerprints / minhash_pairs / simhash_pairs /
-        # ivf_topk / image_decode_stats are deliberately non-SQL
-        # (heuristic / sketch / approximate / binary-decode) → rows-only.
+        "minhash_pairs": _SQL_MINHASH_PAIRS,
+        "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD,
+        "simhash_pairs": _SQL_SIMHASH_PAIRS,
+        "neardup_dedup": _SQL_NEARDUP_DEDUP,
+        # ivf_topk / approx_value_quantiles / kmeans_embeddings /
+        # lang_quality / fingerprints / image_training_table stay
+        # rows-only (approximate / sketch / iterative-float / heuristic /
+        # crawl-composition semantics).
     }
