@@ -27,6 +27,8 @@ import pyarrow.parquet as pq
 
 import ray
 
+from spider_ray import fixture_oracles as _FIXTURE_SQL
+
 # make spider_ray importable regardless of the driver's cwd
 sys_path_dir = os.path.dirname(os.path.abspath(__file__))
 import sys
@@ -976,13 +978,37 @@ def _q_lang_quality(sf_dir: str) -> pa.Table:
 
 
 def _q_fingerprints(sf_dir: str) -> pa.Table:
+    """Winnowing-style 64-bit document fingerprints (min of stepped md5
+    window hashes). Oracle: exact SQL replica — DuckDB md5 over the same
+    16-char windows at step 8, list_min, two's-complement to BIGINT."""
     _ctx()
     from spider_ray.pipelines.textops import fingerprint_batch
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         fingerprint_batch, batch_format="pyarrow"
     )
-    return _collect(ds).select(["doc_id", "fingerprint"])
+    return _collect(ds).select(["doc_id", "fingerprint"]).sort_by("doc_id")
+
+
+# Exact replica of functions.text.fingerprint64: byte==char windows for
+# the ASCII corpus; uint64 md5 prefix via hex parse; step = window // 2.
+_SQL_FINGERPRINTS = r"""
+WITH fp AS (
+  SELECT doc_id,
+    CASE WHEN len(text) <= 16
+         THEN ('0x' || substr(md5(text), 1, 16))::UBIGINT
+         ELSE list_min([('0x' || substr(md5(substr(text, i + 1, 16)), 1, 16))::UBIGINT
+                        for i in range(0, len(text) - 15, 8)])
+    END AS u
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CAST(u AS HUGEINT)
+            - CASE WHEN u >= CAST(9223372036854775808 AS UBIGINT)
+                   THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END
+            AS BIGINT) AS fingerprint
+FROM fp ORDER BY doc_id
+"""
 
 
 def _q_minhash_pairs(sf_dir: str) -> pa.Table:
@@ -1289,9 +1315,13 @@ def _q_image_training_table(sf_dir: str) -> pa.Table:
 
 def _q_audio_features(sf_dir: str) -> pa.Table:
     """Multimodal audio: REAL stdlib-WAV decode + numpy DSP features via
-    the AudioFeatures actor-pool stage (rows-only: binary decode is not
-    SQL-expressible)."""
+    the AudioFeatures actor-pool stage. Oracle: frozen closed-form
+    literals (spider_ray.fixture_oracles — the WAV fixtures are pure
+    functions of (seed, i)); features ship q9-quantized
+    (floor(v·1e9 + 0.5) int64) so the value-hash gate compares integers."""
     _ctx()
+    import pyarrow.compute as pc
+
     from spider_ray.sources.fixtures import MockWebConfig, audio_wav_for
     from spider_ray.stages.media import AudioFeatures
 
@@ -1305,15 +1335,28 @@ def _q_audio_features(sf_dir: str) -> pa.Table:
     out = ds.map_batches(
         AudioFeatures, batch_size=16, concurrency=2, batch_format="pyarrow"
     )
-    return _collect(out).select(
-        ["audio_id", "duration_s", "rms", "zcr", "spectral_centroid_hz"]
-    )
+    tbl = _collect(out)
+
+    def q9(col: str) -> pa.Array:
+        v = tbl.column(col).to_numpy(zero_copy_only=False)
+        return pa.array(np.floor(v * 1e9 + 0.5).astype(np.int64), pa.int64())
+
+    return pa.table(
+        {
+            "audio_id": tbl.column("audio_id"),
+            "duration_q9": q9("duration_s"),
+            "rms_q9": q9("rms"),
+            "zcr_q9": q9("zcr"),
+            "centroid_hz_q9": q9("spectral_centroid_hz"),
+        }
+    ).sort_by("audio_id")
 
 
 def _q_video_frames(sf_dir: str) -> pa.Table:
     """Multimodal video: strided frame sampling over the SRV1 container
     (header-seek skips; real per-frame decode + phash) via the FrameSample
-    actor-pool stage (rows-only)."""
+    actor-pool stage. Oracle: frozen closed-form literals
+    (spider_ray.fixture_oracles)."""
     _ctx()
     from spider_ray.sources.fixtures import MockWebConfig, video_for
     from spider_ray.stages.media import FrameSample
@@ -1329,10 +1372,21 @@ def _q_video_frames(sf_dir: str) -> pa.Table:
         FrameSample, fn_constructor_kwargs={"stride": 4},
         batch_size=4, concurrency=2, batch_format="pyarrow",
     )
-    return _collect(out).select(["video_id", "frame_index", "frame_phash"])
+    tbl = _collect(out)
+    return pa.table(
+        {
+            "video_id": tbl.column("video_id"),
+            "frame_index": tbl.column("frame_index").cast(pa.int64()),
+            "frame_phash": tbl.column("frame_phash"),
+        }
+    ).sort_by([("video_id", "ascending"), ("frame_index", "ascending")])
 
 
 def _q_image_decode_stats(sf_dir: str) -> pa.Table:
+    """Image decode/validate stats over the deterministic fixture images.
+    Oracle: frozen closed-form literals (spider_ray.fixture_oracles) —
+    the pixels are pure functions of (seed, i) and the codecs are the
+    repo's own, so expected (w, h, fmt, phash) per image are constants."""
     _ctx()
     from spider_ray.sources.fixtures import MockWeb, MockWebConfig
     from spider_ray.stages.images import DecodeStats
@@ -1344,7 +1398,16 @@ def _q_image_decode_stats(sf_dir: str) -> pa.Table:
     out = ds.map_batches(
         DecodeStats, batch_size=64, concurrency=2, batch_format="pyarrow"
     )
-    return _collect(out).select(["image_id", "dec_w", "dec_h", "dec_fmt", "dec_phash"])
+    tbl = _collect(out)
+    return pa.table(
+        {
+            "image_id": tbl.column("image_id"),
+            "dec_w": tbl.column("dec_w").cast(pa.int64()),
+            "dec_h": tbl.column("dec_h").cast(pa.int64()),
+            "dec_fmt": tbl.column("dec_fmt"),
+            "dec_phash": tbl.column("dec_phash"),
+        }
+    ).sort_by("image_id")
 
 
 def _q_jpeg_transcode_conformance(sf_dir: str) -> pa.Table:
@@ -3174,8 +3237,12 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD,
         "simhash_pairs": _SQL_SIMHASH_PAIRS,
         "neardup_dedup": _SQL_NEARDUP_DEDUP,
+        "image_decode_stats": _FIXTURE_SQL.SQL_IMAGE_DECODE_STATS,
+        "phash_neardup": _FIXTURE_SQL.SQL_PHASH_NEARDUP,
+        "audio_features": _FIXTURE_SQL.SQL_AUDIO_FEATURES,
+        "video_frames": _FIXTURE_SQL.SQL_VIDEO_FRAMES,
+        "fingerprints": _SQL_FINGERPRINTS,
         # ivf_topk / approx_value_quantiles / kmeans_embeddings /
-        # lang_quality / fingerprints / image_training_table stay
-        # rows-only (approximate / sketch / iterative-float / heuristic /
-        # crawl-composition semantics).
+        # lang_quality / image_training_table stay rows-only (approximate
+        # / sketch / iterative-float / heuristic / crawl-composition).
     }
