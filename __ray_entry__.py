@@ -3115,7 +3115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_decode_stats": _q_image_decode_stats,
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
-        "image_training_table": _q_image_training_table,
+        "fingerprints": _q_fingerprints,
         # -- flagship crawl family (one cached crawl serves all four) ------
         "crawl_order": _q_crawl_order,
         "crawl_order_distributed": _q_crawl_order_distributed,
@@ -3160,7 +3160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": _q_value_quantiles,
         "stratified_sample": _q_stratified_sample,
         "lang_quality": _q_lang_quality,
-        "fingerprints": _q_fingerprints,
+        "image_training_table": _q_image_training_table,
         "ivf_topk": _q_ivf_topk,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "kmeans_embeddings": _q_kmeans_embeddings,
