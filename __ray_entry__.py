@@ -1204,12 +1204,24 @@ SELECT query_id, rank::BIGINT AS rank, vec_id FROM ranked WHERE rank < 10
 
 
 def _q_ivf_topk(sf_dir: str) -> pa.Table:
+    """IVF ANN over the PHYSICAL cell-partitioned index (pipelines.ann
+    IvfIndex — VERDICT r2 next #4): the index builds once per sf under
+    /tmp (resumable hive layout, reused across calls) and the query reads
+    only the probed cells' parquet files. Rows-only check (approximate by
+    design); recall + pruning are asserted in tests."""
     _ctx()
+    import hashlib as _hl
+
     from spider_ray.pipelines.ann import ivf_topk
 
     queries = _query_vectors(sf_dir, 3)
     ds = _read(sf_dir, "embeddings")
-    out = ivf_topk(ds, queries, k=10, n_cells=16, n_probe=8).to_pandas()
+    idx_dir = (
+        f"/tmp/spider_ray_ivf/{_hl.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    out = ivf_topk(
+        ds, queries, k=10, n_cells=16, n_probe=8, index_dir=idx_dir
+    ).to_pandas()
     return pa.table(
         {
             "query_id": pa.array(out["query_id"].astype("int64")),
