@@ -222,6 +222,17 @@ class FetchStage:
             }
             if self.headers:  # absent ≈ reference's dropped-undefined
                 parts["headers"] = self.headers
+            if self.adapter == "crawl4ai" and getattr(
+                self.web, "crawl4ai_url", None
+            ):
+                # crawl4ai.ts:168-173: the cache key varies with
+                # (serverUrl, headless, userAgent, waitUntil)
+                parts["crawl4aiConfig"] = [
+                    self.web.crawl4ai_url,
+                    getattr(self.web, "crawl4ai_headless", True),
+                    getattr(self.web, "user_agent", None),
+                    getattr(self.web, "crawl4ai_wait_until", None),
+                ]
             key = create_cache_key(self.adapter, url, [parts])
             if key in self.cache:
                 self.cache.move_to_end(key)
@@ -257,11 +268,22 @@ class FetchStage:
             elif self.adapter in ("crawlee", "tree"):
                 content, interactions = self._expand(url, content)
             elif self.adapter == "crawl4ai":
-                svc = (
-                    self.web.crawl4ai(url)
-                    if hasattr(self.web, "crawl4ai") else None
-                )
+                try:
+                    svc = (
+                        self.web.crawl4ai(url)
+                        if hasattr(self.web, "crawl4ai") else None
+                    )
+                except ConnectionError as exc:
+                    # crawl4ai.ts:262-289 NetworkError ⇒ error row, not an
+                    # exception out of the batch ("failures are data")
+                    return self._row(
+                        url, url, 599, None, None, None, None,
+                        (time.perf_counter() - start) * 1000.0, False,
+                        f"NetworkError: {exc}",
+                    )
                 if svc is not None:
+                    if isinstance(svc, dict) and svc.get("url"):
+                        final_url = svc["url"]  # crawl4ai.ts:244 result.url
                     content = svc["cleaned_html"] or content
                     markdown = svc["markdown"]
                     internal = svc["links"]["internal"]

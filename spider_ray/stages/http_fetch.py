@@ -60,10 +60,20 @@ class HttpResolver:
         user_agent: str | None = None,
         headers: dict | None = None,
         max_redirects: int = 5,
+        crawl4ai_url: str | None = None,
+        crawl4ai_headless: bool = True,
+        crawl4ai_wait_until: str = "networkidle",
     ):
         self.timeout_s = timeout_s
+        self.user_agent = user_agent
         self.headers = default_headers(user_agent, headers)
         self.max_redirects = max_redirects
+        # remote crawl4ai service base URL (crawl4ai.ts:150-156: explicit
+        # config wins over the adapter default); None → the crawl4ai seam
+        # reports no service and FetchStage falls back to the raw HTML
+        self.crawl4ai_url = crawl4ai_url
+        self.crawl4ai_headless = crawl4ai_headless
+        self.crawl4ai_wait_until = crawl4ai_wait_until
         self._conns: dict[tuple[str, str], http.client.HTTPConnection] = {}
 
     def _conn(self, scheme: str, netloc: str) -> http.client.HTTPConnection:
@@ -134,6 +144,92 @@ class HttpResolver:
             url, current, status, ctype, content=None, body_bytes=body,
             filename=filename,
         )
+
+    def crawl4ai(self, url: str) -> dict | None:
+        """Fetch ``url`` through a remote crawl4ai service over real
+        sockets — the reference's POST contract (crawl4ai.ts:186-242):
+
+        - request body ``{urls: [url], browser_config: {headless,
+          user_agent?}, crawler_config: {type: 'CrawlerRunConfig',
+          params: {wait_until}}}`` to ``{crawl4ai_url}/crawl``;
+        - HTTP ≥ 400, invalid JSON, and ``success: false`` are
+          NetworkErrors (raised as ``ConnectionError`` — FetchStage turns
+          them into error rows, the "failures are data" contract);
+        - array responses take the first element (the service answers one
+          entry per requested URL);
+        - ``cleaned_html`` preferred over ``html``; final URL from the
+          service result; internal links before external, href-only.
+
+        Returns the seam dict (cleaned_html, markdown, links, url) or
+        ``None`` when no service is configured."""
+        import json
+
+        if not self.crawl4ai_url:
+            return None
+        body = {
+            "urls": [url],
+            "browser_config": {
+                "headless": self.crawl4ai_headless,
+                **({"user_agent": self.user_agent} if self.user_agent else {}),
+            },
+            "crawler_config": {
+                "type": "CrawlerRunConfig",
+                "params": {"wait_until": self.crawl4ai_wait_until},
+            },
+        }
+        endpoint = self.crawl4ai_url.rstrip("/") + "/crawl"
+        parts = urllib.parse.urlsplit(endpoint)
+        payload = json.dumps(body).encode("utf-8")
+        headers = dict(self.headers)
+        headers["Content-Type"] = "application/json"
+        headers["Content-Length"] = str(len(payload))
+        try:
+            conn = self._conn(parts.scheme, parts.netloc)
+            try:
+                conn.request("POST", parts.path or "/", body=payload, headers=headers)
+                resp = conn.getresponse()
+                status, text = resp.status, resp.read().decode("utf-8", "replace")
+            except (http.client.HTTPException, OSError):
+                conn.close()
+                self._conns.pop((parts.scheme, parts.netloc), None)
+                conn = self._conn(parts.scheme, parts.netloc)
+                conn.request("POST", parts.path or "/", body=payload, headers=headers)
+                resp = conn.getresponse()
+                status, text = resp.status, resp.read().decode("utf-8", "replace")
+        except OSError as exc:
+            raise ConnectionError(
+                f"Cannot connect to crawl4ai server at {self.crawl4ai_url}: {exc}"
+            ) from exc
+        if status >= 400:
+            raise ConnectionError(f"Crawl4ai server returned HTTP {status}")
+        try:
+            result = json.loads(text)
+        except ValueError as exc:
+            raise ConnectionError(
+                "Invalid JSON response from crawl4ai server"
+            ) from exc
+        if isinstance(result, list):
+            result = result[0] if result else {}
+        if not result.get("success"):
+            raise ConnectionError(
+                f"Crawl4ai failed: {result.get('error_message') or 'Unknown error'}"
+            )
+        links = result.get("links") or {}
+
+        def hrefs(side: str) -> list[str]:
+            out = []
+            for item in links.get(side) or []:
+                href = item.get("href") if isinstance(item, dict) else item
+                if href:
+                    out.append(href)
+            return out
+
+        return {
+            "url": result.get("url") or url,
+            "cleaned_html": result.get("cleaned_html") or result.get("html") or "",
+            "markdown": result.get("markdown"),
+            "links": {"internal": hrefs("internal"), "external": hrefs("external")},
+        }
 
     def close(self) -> None:
         for conn in self._conns.values():

@@ -71,11 +71,66 @@ class _Handler(BaseHTTPRequestHandler):
                 200, "application/pdf", PDF_BYTES,
                 {"Content-Disposition": 'attachment; filename="file.pdf"'},
             )
+        elif path == "/svc-fail":
+            self._send(200, "text/html", b"<html>page ok, service will fail</html>")
         elif path == "/vary":
             ua = self.headers.get("User-Agent", "")
             self._send(200, "text/plain", f"ua={ua}".encode())
         else:
             self._send(404, "text/plain", b"not found")
+
+    def do_POST(self):
+        """/crawl — mock of the remote crawl4ai rendering service, the
+        reference fixture route (testdata/local-server.ts:225-280): echoes
+        the browser/crawler config into the cleaned_html and answers with
+        service links (internal relative, external absolute)."""
+        import json
+
+        self.server.request_count += 1
+        if self.path != "/crawl":
+            self._send(404, "text/plain", b"not found")
+            return
+        length = int(self.headers.get("Content-Length", "0"))
+        payload = json.loads(self.rfile.read(length) or b"{}")
+        self.server.last_crawl_request = payload
+        target = (payload.get("urls") or [None])[0] or "/"
+        if target.endswith("/svc-fail"):
+            body = json.dumps({"success": False, "error_message": "boom"})
+            self._send(200, "application/json", body.encode())
+            return
+        from urllib.parse import urlsplit
+
+        parts = urlsplit(target)
+        origin = f"{parts.scheme}://{parts.netloc}"
+        bc = payload.get("browser_config") or {}
+        wait = ((payload.get("crawler_config") or {}).get("params") or {}).get(
+            "wait_until", "unset"
+        )
+        cleaned = (
+            "<html><body>"
+            f'<p id="crawl-user-agent">{bc.get("user_agent", "none")}</p>'
+            f'<p id="crawl-headless">{str(bc.get("headless"))}</p>'
+            f'<p id="crawl-wait-until">{wait}</p>'
+            '<a href="/relative" title="Crawl relative">Crawl Relative</a>'
+            "</body></html>"
+        )
+        body = json.dumps(
+            {
+                "success": True,
+                "url": target,
+                "cleaned_html": cleaned,
+                "markdown": "# Crawl4ai Fixture",
+                "links": {
+                    "internal": [
+                        {"href": "/relative", "text": "Crawl Relative",
+                         "title": "Crawl relative"}
+                    ],
+                    "external": [{"href": f"{origin}/external",
+                                  "text": "Crawl External"}],
+                },
+            }
+        )
+        self._send(200, "application/json", body.encode())
 
 
 @pytest.fixture(scope="module")
@@ -166,6 +221,95 @@ def test_default_headers_sent_and_overridable(fixture_server):
     assert resp.content == f"ua={DEFAULT_USER_AGENT}"
     resp2 = HttpResolver(user_agent="custom-bot/2").resolve(f"{base}/vary")
     assert resp2.content == "ua=custom-bot/2"
+
+
+def test_crawl4ai_service_roundtrip_over_sockets(fixture_server):
+    """The adapter POSTs the reference's /crawl contract and consumes the
+    service answer: cleaned_html wins, markdown surfaces, service links
+    (internal before external) are absolutized and first-wins deduped
+    (crawl4ai.ts:186-258 over local-server.ts:225-280)."""
+    server, base = fixture_server
+    stage = FetchStage(
+        adapter="crawl4ai",
+        resolver=HttpResolver(crawl4ai_url=base, user_agent="c4-bot/1"),
+        cache_enabled=False,
+    )
+    out = stage(pa.table({"url": [f"{base}/final"]}))
+    assert out.column("status").to_pylist() == [200]
+    assert out.column("markdown").to_pylist() == ["# Crawl4ai Fixture"]
+    content = out.column("content").to_pylist()[0]
+    assert 'id="crawl-user-agent">c4-bot/1' in content
+    assert 'id="crawl-headless">True' in content
+    links = out.column("links").to_pylist()[0]
+    assert [l["href"] for l in links] == [f"{base}/relative", f"{base}/external"]
+    # the POST body matched the reference request shape
+    req = server.last_crawl_request
+    assert req["urls"] == [f"{base}/final"]
+    assert req["browser_config"]["headless"] is True
+    assert req["browser_config"]["user_agent"] == "c4-bot/1"
+    assert req["crawler_config"]["params"]["wait_until"] == "networkidle"
+
+
+def test_crawl4ai_service_failure_is_error_row(fixture_server):
+    """success:false from the service → NetworkError row, not an
+    exception out of the batch (crawl4ai.ts:235-241)."""
+    _, base = fixture_server
+    stage = FetchStage(
+        adapter="crawl4ai", resolver=HttpResolver(crawl4ai_url=base),
+        cache_enabled=False,
+    )
+    out = stage(pa.table({"url": [f"{base}/svc-fail"]}))
+    assert out.column("status").to_pylist() == [599]
+    err = out.column("error").to_pylist()[0]
+    assert err.startswith("NetworkError") and "boom" in err
+
+
+def test_crawl4ai_unreachable_server_is_error_row(fixture_server):
+    _, base = fixture_server
+    stage = FetchStage(
+        adapter="crawl4ai",
+        resolver=HttpResolver(crawl4ai_url="http://127.0.0.1:9", timeout_s=0.5),
+        cache_enabled=False,
+    )
+    out = stage(pa.table({"url": [f"{base}/final"]}))
+    assert out.column("status").to_pylist() == [599]
+    assert "Cannot connect to crawl4ai server" in out.column("error").to_pylist()[0]
+
+
+def test_crawl4ai_config_varies_cache_key(fixture_server):
+    """index.spec.ts:206-237: the crawl4ai cache key varies with
+    (serverUrl, headless, userAgent, waitUntil) — a config change misses
+    the cache and re-hits the service; the same config hits."""
+    server, base = fixture_server
+    from spider_ray.functions.cachekey import create_cache_key
+
+    def key_for(stage):
+        parts = {
+            "adapter": stage.adapter,
+            "customSelectors": stage.custom_selectors or None,
+            "crawl4aiConfig": [
+                stage.web.crawl4ai_url, stage.web.crawl4ai_headless,
+                stage.web.user_agent, stage.web.crawl4ai_wait_until,
+            ],
+        }
+        return create_cache_key(stage.adapter, f"{base}/final", [parts])
+
+    s1 = FetchStage(adapter="crawl4ai", resolver=HttpResolver(crawl4ai_url=base))
+    s2 = FetchStage(
+        adapter="crawl4ai",
+        resolver=HttpResolver(crawl4ai_url=base, crawl4ai_wait_until="load"),
+    )
+    assert key_for(s1) != key_for(s2)
+    # same config twice: second call is a cache hit (no new service call)
+    before = server.request_count
+    s1(pa.table({"url": [f"{base}/final"]}))
+    mid = server.request_count
+    out = s1(pa.table({"url": [f"{base}/final"]}))
+    assert server.request_count == mid > before
+    assert out.column("cache_hit").to_pylist() == [True]
+    # varied config: forced back to the service
+    s2(pa.table({"url": [f"{base}/final"]}))
+    assert server.request_count > mid
 
 
 def test_cache_skips_network(fixture_server):
