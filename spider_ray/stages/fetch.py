@@ -138,6 +138,7 @@ class FetchStage:
         cache_dir: str | None = None,
         cache_ttl_ms: int | None = None,
         cache_clock=None,
+        cache_provider: dict | None = None,
         headers: dict | None = None,
     ):
         if adapter not in self.ADAPTERS:
@@ -167,10 +168,13 @@ class FetchStage:
         self.headers = headers or None
         # optional persistent TTL'd backend shared across actors/processes
         # (cache.ts:20-45; survives re-runs — README.md:554-557 resume)
-        if cache_dir:
-            from ..state.cache import FileCache
+        # cache_provider is the CacheProviderConfig-equivalent
+        # (types.ts:177-186): {"provider": "s3", "bucket": ..., "prefix": ...}
+        # selects the object-store backend; default/file uses cache_dir.
+        if cache_dir or (cache_provider or {}).get("provider") == "s3":
+            from ..state.cache import make_cache
 
-            self.pcache = FileCache(cache_dir, clock=cache_clock)
+            self.pcache = make_cache(cache_dir, cache_provider, clock=cache_clock)
         else:
             self.pcache = None
         self.cache_ttl_ms = cache_ttl_ms

@@ -1,13 +1,20 @@
-"""Persistent TTL cache (state.cache.FileCache) — cache.ts:6-46 semantics:
-TTL expiry with an injectable clock, header-varied keys
-(index.spec.ts:120-146), and cross-process reuse (README.md:554-557
-"cached fetch ~5 ms, re-runs skip fetched work")."""
+"""Persistent TTL cache (state.cache) — cache.ts:6-46 semantics over BOTH
+provider backends (types.ts:177-186 CacheProviderConfig file|s3): TTL expiry
+with an injectable clock, header-varied keys (index.spec.ts:120-146), and
+cross-process reuse (README.md:554-557 "cached fetch ~5 ms, re-runs skip
+fetched work")."""
 
 import pyarrow as pa
+import pytest
 
 from spider_ray.sources.fixtures import MockWebConfig, page_url
 from spider_ray.stages.fetch import FetchStage
-from spider_ray.state.cache import FileCache
+from spider_ray.state.cache import (
+    FakeS3Client,
+    FileCache,
+    S3ObjectCache,
+    make_cache,
+)
 
 
 class FakeClock:
@@ -18,9 +25,16 @@ class FakeClock:
         return self.now
 
 
-def test_ttl_expiry_with_injected_clock(tmp_path):
+def _make(provider, tmp_path, clock=None, client=None):
+    if provider == "file":
+        return FileCache(str(tmp_path / "c"), clock=clock)
+    return S3ObjectCache("bkt", client=client or FakeS3Client(), clock=clock)
+
+
+@pytest.mark.parametrize("provider", ["file", "s3"])
+def test_ttl_expiry_with_injected_clock(tmp_path, provider):
     clock = FakeClock()
-    cache = FileCache(str(tmp_path / "c"), clock=clock)
+    cache = _make(provider, tmp_path, clock=clock)
     cache.set("simple:abc", {"x": 1, "blob": b"\x00\xff"}, ttl_ms=5000)
     assert cache.get("simple:abc") == {"x": 1, "blob": b"\x00\xff"}
     clock.now += 4999
@@ -31,6 +45,53 @@ def test_ttl_expiry_with_injected_clock(tmp_path):
     cache.set("simple:def", {"y": 2})
     clock.now += 10**9
     assert cache.get("simple:def") == {"y": 2}
+
+
+def test_make_cache_provider_dispatch(tmp_path):
+    """CacheManager.init dispatch (cache.ts:25-45): s3 config → object-store
+    backend; default → file; s3 without bucket rejected."""
+    f = make_cache(str(tmp_path / "c"))
+    assert isinstance(f, FileCache)
+    s = make_cache(None, {"provider": "s3", "bucket": "b", "client": FakeS3Client()})
+    assert isinstance(s, S3ObjectCache)
+    assert s.prefix == "cache/"  # default prefix (cache.ts:34)
+    with pytest.raises(ValueError):
+        make_cache(None, {"provider": "s3"})
+    with pytest.raises(ValueError):
+        make_cache(None)
+
+
+def test_s3_cache_key_layout_matches_file_backend(tmp_path):
+    """Object keys mirror the file layout (namespace/2-char-shard/digest)
+    so a cache migrates between providers by object copy."""
+    client = FakeS3Client()
+    cache = S3ObjectCache("bkt", prefix="cache/", client=client)
+    cache.set("simple:deadbeef01", {"v": 1})
+    (bucket, key), = client.objects.keys()
+    assert bucket == "bkt"
+    assert key == "cache/simple/de/deadbeef01"
+    fc = FileCache(str(tmp_path / "c"))
+    assert fc._path("simple:deadbeef01").endswith("c/simple/de/deadbeef01")
+    # hostile key components are sanitized the same way
+    assert S3ObjectCache("bkt")._key("../evil:../../x") == "cache/evil/x/x"
+
+
+def test_fetch_stage_over_s3_provider():
+    """FetchStage wired with the CacheProviderConfig-equivalent dict: two
+    stages sharing one fake bucket behave like the shared-file-dir case —
+    second stage hits the cache without fetching."""
+    web = MockWebConfig(n_pages=10)
+    client = FakeS3Client()
+    provider = {"provider": "s3", "bucket": "ci-cache", "client": client}
+    url = page_url(4, web)
+    a = FetchStage(web_config=web, cache_provider=provider)
+    a(pa.table({"url": [url]}))
+    assert a.stats()["fetches"] == 1
+    assert client.objects  # envelope landed in the bucket
+    b = FetchStage(web_config=web, cache_provider=provider)
+    out = b(pa.table({"url": [url]}))
+    assert out.column("cache_hit").to_pylist() == [True]
+    assert b.stats()["fetches"] == 0
 
 
 def test_cache_varies_by_headers(tmp_path):
