@@ -154,6 +154,22 @@ class CrawlConfig:
     # — constructed ONCE per fetch actor in __init__; None → MockWeb.
     # Real-HTTP crawls flow through the identical scheduler/dedup path.
     resolver_factory: "object | None" = None
+    # Split-wave pipelining: overlap epoch k+1's head with epoch k's tail.
+    # After wave k's chunks are all submitted, the top ``spec_wave_frac *
+    # wave_k`` rows of the ALREADY-KNOWN deferred frontier are cut out and
+    # queued behind them in the worker mailboxes (FIFO per actor) — those
+    # rows are admitted-and-unseen, so they must be fetched eventually and
+    # the speculation can never waste a fetch. Workers therefore roll
+    # straight into epoch k+1 work while the driver collects results, writes
+    # order/lineage, checkpoints, and cuts the rest of wave k+1. Deviation
+    # from conformance mode: wave k+1 = spec-rows ++ top-of-the-rest, so a
+    # fresh candidate that outranks a speculated row waits one extra epoch —
+    # the fetched SET, dedup guarantees and totals are identical (pinned by
+    # tests/test_crawl.py), only the (epoch, seq) assignment shifts. Off by
+    # default; requires fetch_mode='pool', robots off, and a non-binding
+    # per-host cap (cap >= wave_k) — otherwise silently runs unpipelined.
+    pipeline_waves: bool = False
+    spec_wave_frac: float = 0.5
 
     def key(self) -> str:
         payload = asdict(self)
@@ -1080,10 +1096,29 @@ def run_crawl(config: CrawlConfig, resume: bool = False) -> CrawlResult:
     tracer = _Tracer() if _TRACE else None
     pending_writes: tuple[int, list] | None = None
     unflushed_refs: list = []
-    while frontier.count > 0 and epoch < config.max_epochs:
+    # split-wave pipelining is only sound when the persistent pool exists,
+    # robots can't filter a dispatched row, and the per-host cap can never
+    # bind (two sub-cuts of one wave would otherwise admit 2x cap per host)
+    pipelining = (
+        config.pipeline_waves
+        and config.fetch_mode == "pool"
+        and not config.respect_robots
+        and config.max_per_host_per_wave >= config.wave_k
+    )
+    # rows already dispatched for the UPCOMING epoch: {"table", "refs",
+    # "n_chunks"}. Invariant: spec rows are cut OUT of `frontier` (no
+    # overlap), re-included in the wave at the next iteration's head and in
+    # any checkpoint taken while they are in flight.
+    spec_state: dict | None = None
+    while (frontier.count > 0 or spec_state is not None) and epoch < config.max_epochs:
         if tracer: tracer.mark("wave_select")
         politeness.begin_wave()
-        if frontier.count > config.driver_wave_threshold:
+        spec_prev, spec_state = spec_state, None
+        spec_tbl = spec_prev["table"] if spec_prev else None
+        rest_k = config.wave_k - (spec_tbl.num_rows if spec_prev else 0)
+        if frontier.count == 0 or rest_k <= 0:
+            wave_rest, deferred = _empty_frontier(), frontier
+        elif frontier.count > config.driver_wave_threshold:
             # beyond-driver-memory frontier → Ray Data shuffle plan
             # (groupby(host) cap → sort → limit). The deferred anti-set is
             # STREAMED by write tasks to the next epoch's partition dir —
@@ -1094,13 +1129,13 @@ def run_crawl(config: CrawlConfig, resume: bool = False) -> CrawlResult:
             )
             if _os.path.exists(deferred_dir):
                 _shutil.rmtree(deferred_dir)
-            wave, deferred_ds = wave_select_dataset(
+            wave_rest, deferred_ds = wave_select_dataset(
                 frontier.dataset(),
-                config.wave_k,
+                rest_k,
                 config.max_per_host_per_wave,
                 skip_host_cap=config.max_per_host_per_wave >= frontier.count,
             )
-            if frontier.count > wave.num_rows:
+            if frontier.count > wave_rest.num_rows:
                 deferred_ds.write_parquet(deferred_dir)
                 deferred = Frontier(
                     table=_empty_frontier(),
@@ -1108,23 +1143,36 @@ def run_crawl(config: CrawlConfig, resume: bool = False) -> CrawlResult:
                     # frontier url_hashes are unique (seen-set admission is
                     # exactly-once), so the anti-join removes exactly the
                     # wave rows — count is arithmetic, no extra pass
-                    count=frontier.count - wave.num_rows,
+                    count=frontier.count - wave_rest.num_rows,
                     owned_dirs=[deferred_dir],
                 )
             else:
                 deferred = Frontier.from_table(_empty_frontier())
             frontier.cleanup()  # source partitions consumed by the write
         else:
-            wave, deferred = _wave_cut_driver(
-                frontier, config.wave_k, config.max_per_host_per_wave
+            wave_rest, deferred = _wave_cut_driver(
+                frontier, rest_k, config.max_per_host_per_wave
             )
             frontier.cleanup()
-        if config.respect_robots:
-            hosts = wave.column("host").to_pylist()
-            urls = wave.column("url").to_pylist()
+        if config.respect_robots:  # mutually exclusive with pipelining
+            hosts = wave_rest.column("host").to_pylist()
+            urls = wave_rest.column("url").to_pylist()
             politeness.ensure_robots(hosts, web.robots_txt)
             allowed = politeness.allowed(hosts, urls)
-            wave = wave.filter(pa.array(allowed))
+            wave_rest = wave_rest.filter(pa.array(allowed))
+        # the full wave = previously-speculated rows (already fetching in
+        # the worker mailboxes) ++ the freshly cut remainder
+        wave = (
+            pa.concat_tables(
+                [
+                    t.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA)
+                    for t in (spec_tbl, wave_rest)
+                    if t.num_rows
+                ]
+            )
+            if spec_prev
+            else wave_rest
+        )
         if wave.num_rows == 0:
             if deferred.count == 0:
                 break
@@ -1133,12 +1181,41 @@ def run_crawl(config: CrawlConfig, resume: bool = False) -> CrawlResult:
             epoch += 1
             continue
 
+        # ---- speculative cut for epoch k+1 (split-wave pipelining) -------
+        # cut the top of the deferred frontier NOW — its rows are known
+        # before this wave's results — and hand it to _fetch_wave to queue
+        # behind this wave's chunks. Driver-resident deferred only (the
+        # dataset-path deferred lives in partition dirs).
+        next_spec: pa.Table | None = None
+        if (
+            pipelining
+            and epoch + 1 < config.max_epochs
+            and deferred.count > 0
+            and not deferred.dirs
+        ):
+            spec_k = min(
+                deferred.count, max(1, int(config.wave_k * config.spec_wave_frac))
+            )
+            next_spec, deferred = _wave_cut_driver(
+                deferred, spec_k, config.max_per_host_per_wave
+            )
+
         # ---- fetch + parse + extract + dedup (distributed) ---------------
         # dedup runs inside the workers, so snapshot shard stats first
         stats_before = seen.stats()
         if tracer: tracer.mark("fetch_wave")
-        meta = _fetch_wave(wave, config, fetch_pool, store, epoch, seen=seen)
+        meta, spec_state = _fetch_wave(
+            wave_rest, config, fetch_pool, store, epoch, seen=seen,
+            carried=spec_prev, next_spec=next_spec,
+        )
         if meta is None or meta["n_pages"] == 0:
+            if spec_state is not None:  # drain + discard dangling speculation
+                ray.get(spec_state["refs"])
+                for t in ("pages", "images", "documents"):
+                    d = store.epoch_dir(t, epoch + 1)
+                    if _os.path.isdir(d):
+                        _shutil.rmtree(d, ignore_errors=True)
+                spec_state = None
             break
         pages_fetched += meta["n_pages"]
         images_written += meta["n_images"]
@@ -1210,7 +1287,13 @@ def run_crawl(config: CrawlConfig, resume: bool = False) -> CrawlResult:
         ))
         unflushed_refs.extend(write_refs)
         if (epoch + 1) % config.checkpoint_interval == 0:
-            unflushed_refs.extend(_checkpoint_frontier(store, epoch, frontier))
+            # a checkpoint taken while speculation is in flight must include
+            # the speculated rows — epoch+1 is incomplete, so a resume from
+            # this checkpoint re-fetches them (idempotent: their epoch+1
+            # partition files are rebuilt from scratch on re-run)
+            unflushed_refs.extend(
+                _checkpoint_frontier(store, epoch, _spec_view(frontier, spec_state))
+            )
             unflushed_refs.append(
                 store.write_async("seen", epoch, seen.snapshot_table())
             )
@@ -1281,6 +1364,24 @@ def _wave_cut_driver(
     return wave, Frontier.from_table(deferred_tbl)
 
 
+def _spec_view(frontier: Frontier, spec_state: dict | None) -> Frontier:
+    """Checkpoint view of the frontier: the operational frontier plus any
+    rows currently dispatched speculatively for the next (incomplete)
+    epoch. Non-mutating — shares the runset/dirs, owns nothing."""
+    if spec_state is None or spec_state["table"].num_rows == 0:
+        return frontier
+    spec = spec_state["table"].select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA)
+    merged = (
+        pa.concat_tables([frontier.table, spec]) if frontier.table.num_rows else spec
+    )
+    return Frontier(
+        table=merged,
+        dirs=list(frontier.dirs),
+        count=frontier.count + spec.num_rows,
+        runset=frontier.runset,
+    )
+
+
 def _checkpoint_frontier(store: EpochStore, epoch: int, frontier: Frontier) -> list:
     """Checkpoint the frontier. Small frontiers → one async table write.
     Distributed frontiers → hardlink the already-on-disk partition files
@@ -1302,14 +1403,25 @@ def _fetch_wave(
     store=None,
     epoch: int = 0,
     seen=None,
-) -> dict | None:
-    """Fetch+parse+extract+dedup one wave → meta dict:
+    carried: dict | None = None,
+    next_spec: pa.Table | None = None,
+) -> tuple[dict | None, dict | None]:
+    """Fetch+parse+extract+dedup one wave → (meta, spec_state). meta:
     {fresh, failed, lineage_fetch, n_pages, n_images, n_candidates_raw,
     write_refs}. Pool mode: strided chunks over persistent workers with
-    work-stealing. Dataset mode: strided chunks over independent Ray tasks
-    (per-process stage cache). BOTH run the same fused row pipeline
-    (_fused_chunk), write their own partition files, probe the seen shards
-    worker-side, and ship back only fresh candidates + counters."""
+    work-stealing at queue depth 2 (each worker keeps one chunk queued in
+    its mailbox so there is no driver-round-trip gap between chunks).
+    Dataset mode: strided chunks over independent Ray tasks (per-process
+    stage cache). BOTH run the same fused row pipeline (_fused_chunk),
+    write their own partition files, probe the seen shards worker-side, and
+    ship back only fresh candidates + counters.
+
+    Split-wave pipelining (pool mode only): ``carried`` is the speculation
+    dispatched LAST epoch — its rows are this wave's head, its refs are
+    collected into this wave's parts, and its chunks already own part ids
+    ``0..n_chunks-1`` of this epoch's sinks. ``next_spec`` rows are chunked
+    and queued behind this wave's chunks for the NEXT epoch; the returned
+    spec_state carries their table/refs forward."""
     use_dataset = config.fetch_mode == "dataset" or (
         config.fetch_mode == "auto" and wave.num_rows > config.dataset_wave_threshold
     )
@@ -1392,26 +1504,34 @@ def _fetch_wave(
             "n_images": sum(p["n_images"] for p in parts),
             "n_candidates_raw": sum(p["n_candidates_raw"] for p in parts),
             "write_refs": [],
-        }
+        }, None
     # ---- pool mode: workers write their own partitions ------------------
     import os
     import shutil
 
     sink = {t: store.epoch_dir(t, epoch) for t in ("pages", "images", "documents")}
-    for d in sink.values():  # idempotent re-run of a crashed epoch
-        if os.path.exists(d):
-            shutil.rmtree(d)
+    if carried is None:
+        for d in sink.values():  # idempotent re-run of a crashed epoch
+            if os.path.exists(d):
+                shutil.rmtree(d)
+    # else: last epoch's speculative dispatch already cleaned these dirs and
+    # its chunks are writing part ids 0..carried["n_chunks"]-1 into them
+    part_offset = carried["n_chunks"] if carried else 0
     # Chunks are STRIDED across the wave (i::n) — cheap HTML rows and
     # expensive image rows mix evenly. Several chunks per worker +
-    # work-stealing dispatch (feed a worker its next chunk the moment it
-    # finishes) shrinks the end-of-wave straggler tail from ~one full
-    # worker-chunk to ~one small chunk — the barrier idle time was ~29 % of
-    # the fetch phase with one chunk per worker (trace, 32 workers).
+    # work-stealing dispatch at queue depth 2 (every worker keeps one chunk
+    # queued in its actor mailbox, so finishing a chunk never waits a
+    # driver round-trip) shrinks both the end-of-wave straggler tail and
+    # the inter-chunk dispatch gap — worker idle was ~29 % of the fetch
+    # phase with depth-1 stealing (trace, 28 workers).
     pool_n = len(fetch_pool)
     # ~2 chunks per worker, ≥4k rows each: enough stealing to absorb a
     # slow worker without multiplying the per-chunk seen-shard RPC rounds
+    # (a 2k floor measured +75% dedup RPC time at sf0.1 for ~equal idle)
     n_chunks = max(1, min(2 * pool_n, max(pool_n, wave.num_rows // 4096)))
     n_chunks = min(n_chunks, max(1, -(-wave.num_rows // 64)))
+    if wave.num_rows == 0:
+        n_chunks = 0
 
     def _submit(worker_idx: int, chunk_idx: int):
         return fetch_pool[worker_idx].process_chunk.remote(
@@ -1419,16 +1539,47 @@ def _fetch_wave(
             keep,
             config.fetch_batch_size,
             sink,
-            chunk_idx,
+            part_offset + chunk_idx,
             config.n_seen_shards,
         )
+
+    def _dispatch_spec() -> dict:
+        # queue next epoch's speculative chunks behind this wave's chunks
+        # in every worker's FIFO mailbox: a worker that drains its share of
+        # this wave rolls straight into epoch+1 work while the driver is
+        # still collecting results and doing end-of-epoch bookkeeping
+        spec_sink = {
+            t: store.epoch_dir(t, epoch + 1) for t in ("pages", "images", "documents")
+        }
+        for d in spec_sink.values():
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        n_sp = max(1, min(pool_n, next_spec.num_rows // 4096 or 1))
+        refs = [
+            fetch_pool[c % pool_n].process_chunk.remote(
+                next_spec.take(pa.array(range(c, next_spec.num_rows, n_sp))),
+                keep,
+                config.fetch_batch_size,
+                spec_sink,
+                c,
+                config.n_seen_shards,
+            )
+            for c in range(n_sp)
+        ]
+        return {"table": next_spec, "refs": refs, "n_chunks": n_sp}
 
     parts = []
     inflight: dict = {}
     next_chunk = 0
-    for w in range(min(pool_n, n_chunks)):
-        inflight[_submit(w, next_chunk)] = w
-        next_chunk += 1
+    for _round in range(2):  # prime every mailbox two deep
+        for w in range(pool_n):
+            if next_chunk >= n_chunks:
+                break
+            inflight[_submit(w, next_chunk)] = w
+            next_chunk += 1
+    spec_state = None
+    if next_chunk >= n_chunks and next_spec is not None:
+        spec_state = _dispatch_spec()
     while inflight:
         done, _ = ray.wait(list(inflight.keys()), num_returns=1)
         worker_idx = inflight.pop(done[0])
@@ -1436,8 +1587,15 @@ def _fetch_wave(
         if next_chunk < n_chunks:
             inflight[_submit(worker_idx, next_chunk)] = worker_idx
             next_chunk += 1
+            if next_chunk >= n_chunks and next_spec is not None:
+                spec_state = _dispatch_spec()
+    if carried is not None:
+        # speculation results for THIS wave's head rows (dispatched last
+        # epoch; FIFO per actor means they completed before this wave's
+        # later chunks on the same worker)
+        parts = [ray.get(r) for r in carried["refs"]] + parts
     if not parts:
-        return None
+        return None, spec_state
     lineage = pa.concat_tables([p["lineage"] for p in parts])
     return {
         "fresh": pa.concat_tables([p["fresh"] for p in parts]),
@@ -1448,7 +1606,7 @@ def _fetch_wave(
         "n_images": sum(p["n_images"] for p in parts),
         "n_candidates_raw": sum(p["n_candidates_raw"] for p in parts),
         "write_refs": [],
-    }
+    }, spec_state
 
 
 def _dedup_candidates(
