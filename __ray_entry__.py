@@ -58,7 +58,22 @@ def _ctx():
 
 
 def _read(sf_dir: str, name: str, columns=None):
-    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    """Column-pruned parquet read with byte-sized parallelism.
+
+    Ray's default parallelism heuristic floors at ~2×CPUs blocks, so a
+    kilobyte-scale table fans into 64 near-empty blocks and every
+    downstream exchange pays 64 tasks of fixed overhead (the dominant
+    cost of the small-sf dedup queries). Cap blocks at ceil(bytes/16 MiB)
+    for small files; at-scale inputs (≥ the heuristic's own sizing) are
+    left to Ray, so this changes nothing at 100 TB."""
+    path = f"{sf_dir}/{name}.parquet"
+    nbytes = os.path.getsize(path)
+    small_blocks = max(1, -(-nbytes // (512 << 10)))  # ceil-div by 512 KiB
+    if small_blocks < 2 * (os.cpu_count() or 32):
+        return ray.data.read_parquet(
+            path, columns=columns, override_num_blocks=small_blocks
+        )
+    return ray.data.read_parquet(path, columns=columns)
 
 
 def _doc_ids_ds(sf_dir: str):

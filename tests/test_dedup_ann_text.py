@@ -364,9 +364,11 @@ def test_neardup_keepset_distributed_matches_driver(ray_session):
     assert kept_dist == expected
 
 
-def test_nonsingleton_bucketed_hot_key_path_matches_broadcast(ray_session):
-    """Force hot_key_limit=0 so the bucketed tagged-union exchange runs;
-    the pair set must equal the broadcast-probe plan's."""
+def test_nonsingleton_pairs_invariant_to_bucket_count(ray_session):
+    """The single-exchange bucket plan yields the same pair set at any
+    ``n_buckets`` (same key ⇒ same bucket, so the ≥2 filter and pairs_of
+    see every group whole), including n_buckets=1 (everything co-located)
+    and more buckets than keys."""
     import pandas as pd
     import pyarrow as pa
 
@@ -391,13 +393,54 @@ def test_nonsingleton_bucketed_hot_key_path_matches_broadcast(ray_session):
         return pd.DataFrame({"id_a": [s[i] for i in ia], "id_b": [s[i] for i in ib]})
 
     ds = ray.data.from_arrow(rows).repartition(3)
-    broad = _nonsingleton_group_pairs(
-        ds, ["band_id", "band_hash"], pairs_of, schema
-    ).to_pandas()
-    bucketed = _nonsingleton_group_pairs(
-        ds, ["band_id", "band_hash"], pairs_of, schema,
-        hot_key_limit=0, n_buckets=3,
-    ).to_pandas()
     want = {(1, 2), (4, 5), (4, 6), (5, 6)}
-    assert set(zip(broad["id_a"], broad["id_b"])) == want
-    assert set(zip(bucketed["id_a"], bucketed["id_b"])) == want
+    for n_buckets in (1, 3, 64):
+        got = _nonsingleton_group_pairs(
+            ds, ["band_id", "band_hash"], pairs_of, schema, n_buckets=n_buckets
+        ).to_pandas()
+        assert set(zip(got["id_a"], got["id_b"])) == want
+
+
+def test_nonsingleton_pairs_invariant_to_input_blocking(ray_session):
+    """Same rows, different input block splits ⇒ same pair set.
+
+    Regression for the pandas categorize/NUL pitfall: the bucket tag joins
+    key columns with "\\0" and pd.factorize truncates object strings at the
+    first NUL, so with categorize=True the same (band_id, band_val) key got
+    a batch-dependent bucket — groups straddling batches split and their
+    pairs vanished. Keys here are chosen so several share a pre-NUL prefix
+    ("0" + NUL + ...) and each group's members land in different input
+    blocks."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from spider_ray.pipelines.dedup import _nonsingleton_group_pairs
+
+    # 30 groups of 2 members; member i of group g sits at row g + i*30 so
+    # any contiguous split separates the two members of every group
+    n_groups = 30
+    band_id = pa.array([0] * (2 * n_groups), pa.int32())
+    band_val = pa.array(list(range(n_groups)) * 2, pa.int32())
+    doc_id = pa.array(
+        [g * 2 for g in range(n_groups)] + [g * 2 + 1 for g in range(n_groups)],
+        pa.int64(),
+    )
+    rows = pa.table({"band_id": band_id, "band_val": band_val, "doc_id": doc_id})
+    schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+
+    def pairs_of(group):
+        s = sorted(set(group["doc_id"].tolist()))
+        if len(s) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        import numpy as np
+
+        ia, ib = np.triu_indices(len(s), k=1)
+        return pd.DataFrame({"id_a": [s[i] for i in ia], "id_b": [s[i] for i in ib]})
+
+    want = {(g * 2, g * 2 + 1) for g in range(n_groups)}
+    for nblocks in (1, 4, 10):
+        ds = ray.data.from_arrow(rows).repartition(nblocks)
+        got = _nonsingleton_group_pairs(
+            ds, ["band_id", "band_val"], pairs_of, schema
+        ).to_pandas()
+        assert set(zip(got["id_a"], got["id_b"])) == want, nblocks
