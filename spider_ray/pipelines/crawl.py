@@ -150,9 +150,41 @@ class CrawlConfig:
     # deterministically/idempotently; K>1 amortizes the frontier serialize
     # (the frontier is the largest driver-held table at scale)
     checkpoint_interval: int = 1
-    # zero-arg callable returning a resolver (e.g. http_fetch.HttpResolver)
-    # — constructed ONCE per fetch actor in __init__; None → MockWeb.
-    # Real-HTTP crawls flow through the identical scheduler/dedup path.
+    # -- the network/browser seam ------------------------------------------
+    # Zero-arg callable returning a RESOLVER — constructed ONCE per fetch
+    # actor in FetchStage.__init__ (never per batch); None → hermetic
+    # MockWeb. Real-HTTP crawls (http_fetch.HttpResolver) flow through the
+    # identical scheduler/dedup path. A real BROWSER runtime (the
+    # reference's crawlee adapter launches Chromium,
+    # src/shared/browser-runner.ts:224-351) plugs in through this same
+    # seam; the container has no Chromium, so the contract is pinned here
+    # and by tests/test_fetch_modes.py's fake-browser seam test:
+    #
+    #   required  resolve(url: str, attempts: int) -> MockResponse-shaped
+    #             record (url, final_url, status, content_type, content
+    #             [HTML text], body_bytes [binary payloads], filename,
+    #             downloads [RAW download events — duplicates included;
+    #             FetchStage dedups them, browser-runner.ts:204-222]).
+    #             Must block until the page settles (the reference waits
+    #             for networkidle, crawlee.ts:169-186) and follow
+    #             redirects itself, reporting the landing URL in
+    #             final_url.
+    #   optional  expand(url: str, round: int) -> str | None — one
+    #             interaction round (click expandable selectors, scroll);
+    #             returns newly revealed HTML or None. FetchStage drives
+    #             the bounded fixpoint (≤3 rounds crawlee / ≤10 tree,
+    #              2-empty stop) and counts interactions; a resolver
+    #             without expand() crawls expansion-free (fetch.py:191).
+    #   lifecycle the factory runs inside the actor, so the browser
+    #             process is launched once per actor and amortized across
+    #             every wave the actor serves (ST2); hold the
+    #             process/page-pool handle on the resolver instance and
+    #             release it in __del__/close(). State must NOT be
+    #             captured in the factory's closure — the factory is
+    #             pickled to workers, the live runtime is not.
+    #   sizing    a Chromium-backed actor wants fetch_num_cpus >= 1 and a
+    #             small fetch_batch_size (the browser serializes page
+    #             loads); pure-HTTP resolvers run fine at fractional CPUs.
     resolver_factory: "object | None" = None
     # Split-wave pipelining: overlap epoch k+1's head with epoch k's tail.
     # After wave k's chunks are all submitted, the top ``spec_wave_frac *

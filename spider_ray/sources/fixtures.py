@@ -366,3 +366,36 @@ def _int_tail(s: str) -> int | None:
 def seed_urls(cfg: MockWebConfig, every: int = 50) -> list[str]:
     """Deterministic seed list: every ``every``-th page."""
     return [page_url(i, cfg) for i in range(0, cfg.n_pages, every)]
+
+
+class BrowserRuntimeStub:
+    """Executable reference implementation of the browser-actor contract
+    (CrawlConfig.resolver_factory doc; reference launches real Chromium,
+    src/shared/browser-runner.ts:224-351 — no Chromium in this container).
+
+    ``resolve(url, attempts)`` returns the settled page as a
+    MockResponse-shaped record; ``expand(url, round)`` serves one
+    interaction round (revealed HTML or None). Construction stands in for
+    the browser launch — FetchStage builds the resolver once per actor, so
+    instances-per-actor is the launches-per-actor count. Configure with
+    ``functools.partial(BrowserRuntimeStub, pages, expansions)`` to keep
+    the factory zero-arg and picklable into worker processes."""
+
+    def __init__(
+        self,
+        pages: dict[str, str],
+        expansions: dict[tuple[str, int], str] | None = None,
+        status: int = 200,
+    ):
+        self.pages = pages
+        self.expansions = expansions or {}
+        self.status = status
+
+    def resolve(self, url: str, attempts: int = 0) -> MockResponse:
+        html = self.pages.get(url)
+        if html is None:
+            return MockResponse(url, url, 404, "text/html", content="")
+        return MockResponse(url, url, self.status, "text/html", content=html)
+
+    def expand(self, url: str, round_: int) -> str | None:
+        return self.expansions.get((url, round_))

@@ -49,6 +49,16 @@ def write_table(table: pa.Table, directory: str, filename: str = "part-0.parquet
 
 def read_table(path_or_dir: str) -> pa.Table:
     if os.path.isdir(path_or_dir):
+        if HAVE_LANCE:
+            lance_parts = sorted(
+                os.path.join(path_or_dir, f)
+                for f in os.listdir(path_or_dir)
+                if f.endswith(".lance")
+            )
+            if lance_parts:
+                return pa.concat_tables(
+                    [lance.dataset(p).to_table() for p in lance_parts]
+                )
         parts = sorted(
             os.path.join(path_or_dir, f)
             for f in os.listdir(path_or_dir)

@@ -34,3 +34,40 @@ def test_pool_and_dataset_modes_equivalent(ray_session, tmp_path):
     pa_ = a.read_all("pages").sort_by("url").select(["url", "status", "link_count"])
     pb_ = b.read_all("pages").sort_by("url").select(["url", "status", "link_count"])
     assert pa_.to_pydict() == pb_.to_pydict()  # values (nullability may differ)
+
+
+def test_browser_shaped_resolver_plugs_into_the_crawl(ray_session, tmp_path):
+    """A browser-runtime resolver (resolve + expand — the browser-actor
+    contract documented at CrawlConfig.resolver_factory) drives the full
+    crawl path through resolver_factory: the expansion fixpoint reveals
+    /c, the revealed link is admitted and fetched, and interaction_count
+    lands in the pages table."""
+    import functools
+
+    from spider_ray.sources.fixtures import BrowserRuntimeStub
+
+    pages = {
+        "http://hx.test/a": '<html><body><a href="/b">b</a></body></html>',
+        "http://hx.test/b": "<html><body>leaf</body></html>",
+        "http://hx.test/c": "<html><body>revealed leaf</body></html>",
+    }
+    expansions = {("http://hx.test/a", 1): '<a href="/c">more</a>'}
+    cfg = CrawlConfig(
+        out_dir=str(tmp_path / "browser"),
+        seeds=["http://hx.test/a"],
+        adapter="crawlee",
+        resolver_factory=functools.partial(BrowserRuntimeStub, pages, expansions),
+        wave_k=100,
+        fetch_concurrency=1,
+        fetch_mode="pool",
+        max_epochs=8,
+    )
+    res = run_crawl(cfg)
+    pages = EpochStore(cfg.out_dir).read_all("pages").to_pandas()
+    by_url = pages.set_index("url")
+    assert {"http://hx.test/a", "http://hx.test/b", "http://hx.test/c"} <= set(
+        by_url.index
+    )
+    assert by_url.loc["http://hx.test/a", "interaction_count"] == 1
+    assert by_url.loc["http://hx.test/b", "interaction_count"] == 0
+    assert res.pages_fetched == 3
