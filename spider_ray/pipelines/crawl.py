@@ -1361,6 +1361,12 @@ def run_crawl(config: CrawlConfig, resume: bool = False) -> CrawlResult:
         )
     store.mark_done()
     final_stats = seen.stats()
+    # Release the crawl's actors NOW rather than when Ray reaps the
+    # out-of-scope handles: the pool alone reserves fetch_concurrency ×
+    # fetch_num_cpus CPUs, which would starve whatever the caller runs next
+    # (the bench's query suite measured ~2× slower behind a lingering pool).
+    for actor in [*(fetch_pool or []), *seen.shards, *politeness.actors]:
+        ray.kill(actor, no_restart=True)
     return CrawlResult(
         out_dir=config.out_dir,
         epochs=epoch - start_epoch,
