@@ -771,10 +771,11 @@ def _q_seen_dedup(sf_dir: str) -> pa.Table:
 
     ds = _doc_ids_ds(sf_dir).map_batches(run, batch_format="pyarrow")
 
-    def keep_min(group: pd.DataFrame) -> pd.DataFrame:
-        return group.nsmallest(1, "doc_id")
+    from ray.data.aggregate import Min
 
-    out = ds.groupby("url").map_groups(keep_min, batch_format="pandas").to_pandas()
+    # vectorized min-per-url (no per-group pandas UDF — same shape as
+    # dedup.exact_dedup's keep-first aggregate)
+    out = ds.groupby("url").aggregate(Min("doc_id", alias_name="doc_id")).to_pandas()
     return pa.table(
         {
             "doc_id": pa.array(out["doc_id"].astype("int64")),
@@ -1560,17 +1561,19 @@ def _q_events_topk_per_type(sf_dir: str) -> pa.Table:
     _ctx()
     from spider_ray.pipelines.events import grouped_topk
 
-    def prep(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def prep(batch: pa.Table) -> pa.Table:
+        # arrow out — object-dtype pandas keys make the downstream groupby
+        # exchange ~15× slower (see relational.preagg_sum)
+        return pa.table(
             {
-                "event_type": batch["event_type"],
-                "event_id": batch["event_id"],
-                "cents": _half_up(batch["value"].to_numpy() * 100).astype("int64"),
+                "event_type": batch.column("event_type"),
+                "event_id": batch.column("event_id"),
+                "cents": _cents_arrow(batch.column("value")),
             }
         )
 
     ds = _read(sf_dir, "events", columns=["event_type", "event_id", "value"]).map_batches(
-        prep, batch_format="pandas"
+        prep, batch_format="pyarrow"
     )
     out = grouped_topk(
         ds, "event_type", "cents", "event_id", k=3,
@@ -2995,21 +2998,24 @@ def _q_partitioned_join(sf_dir: str) -> pa.Table:
     _ctx()
     from spider_ray.pipelines.relational import bucketed_hash_join, preagg_sum
 
-    def prep_li(batch: pd.DataFrame) -> pd.DataFrame:
-        # per-BATCH combiner (plain pandas, no Ray shuffle): lineitem is
+    def prep_li(batch: pa.Table) -> pa.Table:
+        # per-BATCH combiner (arrow group_by, no Ray shuffle): lineitem is
         # clustered by orderkey, so partial sums shrink the join input a lot
-        out = pd.DataFrame(
+        import pyarrow.compute as pc
+
+        qty = pc.cast(batch.column("l_quantity"), pa.int64(), safe=False)
+        t = pa.table({"o_orderkey": batch.column("l_orderkey"), "qty": qty})
+        g = t.group_by(["o_orderkey"]).aggregate([("qty", "sum"), ([], "count_all")])
+        return pa.table(
             {
-                "o_orderkey": batch["l_orderkey"],
-                "qty": batch["l_quantity"].astype("int64"),
+                "o_orderkey": g.column("o_orderkey"),
+                "qty": g.column("qty_sum"),
+                "n": g.column("count_all"),
             }
         )
-        agg = out.groupby("o_orderkey", as_index=False)["qty"].sum()
-        agg["n"] = out.groupby("o_orderkey", as_index=False).size()["size"]
-        return agg
 
     lineitem = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]).map_batches(
-        prep_li, batch_format="pandas"
+        prep_li, batch_format="pyarrow"
     )
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
     joined = bucketed_hash_join(

@@ -268,10 +268,15 @@ def grouped_distinct_count(ds, group_col: str, value_col: str):
     Only unique pairs ever cross the wire; the raw column never
     shuffles. Output: (group, n_distinct)."""
 
-    def local_pairs(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[[group_col, value_col]].drop_duplicates()
+    def local_pairs(batch: pa.Table) -> pa.Table:
+        # arrow-native unique pairs (group_by with no aggregates); typed
+        # string keys keep the downstream exchange off the slow
+        # object-dtype sort path (see relational.preagg_sum)
+        return batch.select([group_col, value_col]).group_by(
+            [group_col, value_col]
+        ).aggregate([])
 
-    pairs = ds.map_batches(local_pairs, batch_format="pandas")
+    pairs = ds.map_batches(local_pairs, batch_format="pyarrow")
 
     def per_group(group: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -328,20 +333,45 @@ def running_total(
     (floor(v·scale + 0.5)) so the running sums are integer-exact and
     engine-independent. Output: (id, key, cum_q)."""
 
-    def per_key(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values([ts_col, id_col], kind="mergesort")
+    n_buckets = 64
+
+    def tag(batch: pa.Table) -> pa.Table:
+        kh = pd.util.hash_array(
+            batch.column(key_col).to_numpy(zero_copy_only=False), categorize=False
+        ).astype(np.int64)
+        return batch.append_column(
+            "__bucket",
+            pa.array(((kh % n_buckets + n_buckets) % n_buckets).astype(np.int32)),
+        )
+
+    # one hash exchange co-locates every row of a key; the per-BUCKET UDF
+    # then computes ALL of its keys' windows in one vectorized
+    # sort + groupby().cumsum() — per-group map_groups paid a pandas
+    # round-trip per user (~0.5 ms × n_users dominated the wall time)
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values([key_col, ts_col, id_col], kind="mergesort")
         q = np.floor(
             group[value_col].to_numpy(dtype=np.float64) * scale + 0.5
         ).astype(np.int64)
+        cum = (
+            pd.Series(q, index=group.index)
+            .groupby(group[key_col].to_numpy(), sort=False)
+            .cumsum()
+            .to_numpy()
+        )
         return pd.DataFrame(
             {
                 id_col: group[id_col].to_numpy(),
                 key_col: group[key_col].to_numpy(),
-                "cum_q": np.cumsum(q),
+                "cum_q": cum,
             }
         )
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 def grouped_ntile(

@@ -239,17 +239,28 @@ def range_join_broadcast(
 
 
 def preagg_sum(ds, keys: list[str], sum_cols: list[str], count_alias: str | None = None):
-    """sum/count per key with per-batch partial aggregation first."""
+    """sum/count per key with per-batch partial aggregation first.
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        agg = {c: "sum" for c in sum_cols}
-        out = batch.groupby(keys, as_index=False).agg(agg)
+    The combiner is pyarrow ``group_by`` — typed output matters beyond
+    speed: a pandas combiner leaves string keys as dtype ``object`` and
+    Ray's sort-aggregate over object blocks measured ~15× slower than
+    over arrow string blocks (events_hour_agg 3.9 s → 0.25 s at sf0.1).
+    Arrow also keeps NULL key groups (SQL GROUP BY semantics); pandas
+    silently dropped them."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        aggs = [(c, "sum") for c in sum_cols]
         if count_alias:
-            counts = batch.groupby(keys, as_index=False).size()
-            out = out.merge(counts.rename(columns={"size": count_alias}), on=keys)
-        return out
+            aggs.append(([], "count_all"))
+        g = batch.group_by(keys).aggregate(aggs)
+        cols = {k: g.column(k) for k in keys}
+        for c in sum_cols:
+            cols[c] = g.column(f"{c}_sum")
+        if count_alias:
+            cols[count_alias] = g.column("count_all")
+        return pa.table(cols)
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
     from ray.data.aggregate import Sum
 
     aggs = [Sum(c, alias_name=c) for c in sum_cols]
