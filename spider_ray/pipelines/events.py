@@ -29,6 +29,48 @@ import pandas as pd
 import pyarrow as pa
 
 
+def bucketed_by_key(ds, key_col: str, per_bucket, n_buckets: int = 64):
+    """One hash exchange on ``key_col``; ``per_bucket`` (pandas →
+    pandas/arrow) sees every row of each of its keys.
+
+    This is the window-operator partitioning shape: per-KEY ``map_groups``
+    pays a pandas UDF round-trip per key (~0.5 ms), which at 10^9 users
+    IS the job's wall time; a bucket-granular UDF amortizes that and lets
+    the window compute vectorize ACROSS keys (sort once per bucket,
+    ``groupby().cumsum/head/nunique`` in C). Size ``n_buckets`` so
+    rows/n_buckets fits one worker's heap at the target corpus; a hot
+    single key remains the caller's partitioning assumption, exactly as
+    with per-key map_groups. hash_array(categorize=False) is REQUIRED —
+    see _nonsingleton_group_pairs for the NUL-truncation trap."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        kh = pd.util.hash_array(
+            batch.column(key_col).to_numpy(zero_copy_only=False), categorize=False
+        ).astype(np.int64)
+        return batch.append_column(
+            "__bucket",
+            pa.array(((kh % n_buckets + n_buckets) % n_buckets).astype(np.int32)),
+        )
+
+    def run(group: pd.DataFrame) -> pd.DataFrame:
+        return per_bucket(group.drop(columns="__bucket"))
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(run, batch_format="pandas")
+    )
+
+
+def _key_segments(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(new_key bool mask, segment start indices) of a key-sorted array."""
+    n = len(keys)
+    new_key = np.empty(n, dtype=bool)
+    new_key[0] = True
+    new_key[1:] = keys[1:] != keys[:-1]
+    return new_key, np.flatnonzero(new_key)
+
+
 def sessionize(
     ds,
     key_col: str = "user_id",
@@ -37,25 +79,35 @@ def sessionize(
     gap_us: int = 30 * 60 * 1_000_000,
 ):
     """Session windows per key with an inactivity-gap rule: a gap > gap_us
-    starts a new session. Returns (key, session_id, n_events) rows."""
+    starts a new session. Returns (key, session_id, n_events) rows.
+    Bucketed exchange + one vectorized scan over all of a bucket's keys
+    (see bucketed_by_key)."""
 
-    def per_key(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values([ts_col, id_col], kind="mergesort")
-        ts = group[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
-        brk = np.zeros(len(ts), dtype=np.int64)
-        if len(ts) > 1:
-            brk[1:] = (np.diff(ts) > gap_us).astype(np.int64)
-        session = np.cumsum(brk)
-        out = pd.DataFrame(
-            {key_col: group[key_col].to_numpy(), "session_id": session}
-        )
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return pd.DataFrame(
+                {key_col: [], "session_id": [], "n_events": []}
+            )
+        g = group.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        ts = g[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        keys = g[key_col].to_numpy()
+        new_key, starts = _key_segments(keys)
+        gap = np.zeros(len(g), dtype=bool)
+        gap[1:] = np.diff(ts) > gap_us
+        brk = gap & ~new_key
+        s_global = np.cumsum(brk)
+        # session id restarts at 0 on each key: subtract the running value
+        # at the key's first row (forward-filled per segment)
+        seg_sizes = np.diff(np.append(starts, len(g)))
+        session = s_global - np.repeat(s_global[starts], seg_sizes)
+        out = pd.DataFrame({key_col: keys, "session_id": session})
         return (
-            out.groupby([key_col, "session_id"], as_index=False)
+            out.groupby([key_col, "session_id"], as_index=False, sort=False)
             .size()
             .rename(columns={"size": "n_events"})
         )
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return bucketed_by_key(ds, key_col, per_bucket)
 
 
 def sliding_window_counts(
@@ -66,22 +118,31 @@ def sliding_window_counts(
     window_us: int = 3_600 * 1_000_000,
 ):
     """For every event, the count of that key's events in (ts-window, ts].
-    Vectorized per group with ``np.searchsorted`` over the sorted ts array."""
+    Bucketed exchange; per key-segment ``np.searchsorted`` over its sorted
+    ts slice (numpy-only per key — no per-key pandas round-trip)."""
 
-    def per_key(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values([ts_col, id_col], kind="mergesort")
-        ts = group[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
-        starts = np.searchsorted(ts, ts - window_us, side="right")
-        n_in_window = np.arange(len(ts)) - starts + 1
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        ts = g[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        keys = g[key_col].to_numpy()
+        n = len(g)
+        n_in_window = np.empty(n, dtype=np.int64)
+        if n:
+            _, starts = _key_segments(keys)
+            bounds = np.append(starts, n)
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                seg = ts[s:e]
+                lo = np.searchsorted(seg, seg - window_us, side="right")
+                n_in_window[s:e] = np.arange(e - s) - lo + 1
         return pd.DataFrame(
             {
-                id_col: group[id_col].to_numpy(),
-                key_col: group[key_col].to_numpy(),
-                "n_in_window": n_in_window.astype("int64"),
+                id_col: g[id_col].to_numpy(),
+                key_col: keys,
+                "n_in_window": n_in_window,
             }
         )
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return bucketed_by_key(ds, key_col, per_bucket)
 
 
 def grouped_topk(
@@ -92,14 +153,18 @@ def grouped_topk(
     k: int = 3,
     keep_cols: list[str] | None = None,
 ):
-    """Top-k rows per group by value desc, id asc tie-break."""
+    """Top-k rows per group by value desc, id asc tie-break. Bucketed
+    exchange + one stable two-pass sort per bucket, then a vectorized
+    ``groupby().head(k)`` across all of the bucket's groups."""
     cols = keep_cols or [group_col, id_col, value_col]
 
-    def per_group(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values([value_col, id_col], ascending=[False, True])
-        return g.head(k)[cols]
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([value_col, id_col], ascending=[False, True],
+                              kind="mergesort")
+        g = g.sort_values(group_col, kind="mergesort")  # stable → order kept
+        return g.groupby(group_col, sort=False).head(k)[cols]
 
-    return ds.groupby(group_col).map_groups(per_group, batch_format="pandas")
+    return bucketed_by_key(ds, group_col, per_bucket)
 
 
 def distinct_values(ds, col: str) -> pa.Table:
@@ -133,14 +198,26 @@ def exact_quantiles(
     KMV/histogram sketch path (pipelines.sketches) instead.
     Output: (group, q25, q50, ... per requested quantile)."""
 
-    def per_group(group: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(group[value_col].to_numpy(dtype=np.float64))
-        row: dict = {group_col: [group[group_col].iloc[0]]}
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(group_col, kind="mergesort")
+        keys = g[group_col].to_numpy()
+        vals = g[value_col].to_numpy(dtype=np.float64)
+        row: dict = {group_col: []}
         for q in qs:
-            row[f"q{int(round(q * 100))}"] = [float(np.quantile(v, q, method=method))]
+            row[f"q{int(round(q * 100))}"] = []
+        if len(g):
+            _, starts = _key_segments(keys)
+            bounds = np.append(starts, len(g))
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                v = np.sort(vals[s:e])
+                row[group_col].append(keys[s])
+                for q in qs:
+                    row[f"q{int(round(q * 100))}"].append(
+                        float(np.quantile(v, q, method=method))
+                    )
         return pd.DataFrame(row)
 
-    return ds.groupby(group_col).map_groups(per_group, batch_format="pandas")
+    return bucketed_by_key(ds, group_col, per_bucket)
 
 
 def stratified_sample(
@@ -171,13 +248,12 @@ def stratified_sample(
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def final_k(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["_h", id_col], kind="mergesort").head(k)
-        return g[cols]
+        g = group.sort_values(["_h", id_col], kind="mergesort")
+        g = g.sort_values(group_col, kind="mergesort")  # stable → _h order kept
+        return g.groupby(group_col, sort=False).head(k)[cols]
 
-    return (
-        ds.map_batches(local_k, batch_format="pyarrow")
-        .groupby(group_col)
-        .map_groups(final_k, batch_format="pandas")
+    return bucketed_by_key(
+        ds.map_batches(local_k, batch_format="pyarrow"), group_col, final_k
     )
 
 
@@ -207,24 +283,27 @@ def lag_diff(
     partition-sort-scan shape as :func:`sessionize`; per-key history must
     fit a worker, the standard window-partitioning assumption)."""
 
-    def per_key(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values([ts_col, id_col], kind="mergesort")
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col, id_col], kind="mergesort")
         # unit-normalize: pandas materializes arrow timestamps as ns or us
         # depending on the source; int64 µs either way
-        ts = group[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        ts = g[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        keys = g[key_col].to_numpy()
         delta = np.empty(len(ts), dtype=np.float64)
-        delta[0] = np.nan
-        if len(ts) > 1:
+        if len(ts):
+            delta[0] = np.nan
             delta[1:] = np.diff(ts)
+            new_key, _ = _key_segments(keys)
+            delta[new_key] = np.nan  # each key's first event has no LAG
         return pd.DataFrame(
             {
-                id_col: group[id_col].to_numpy(),
-                key_col: group[key_col].to_numpy(),
+                id_col: g[id_col].to_numpy(),
+                key_col: keys,
                 "delta_us": delta,
             }
         )
 
-    out = ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    out = bucketed_by_key(ds, key_col, per_bucket)
     return out.map_batches(
         lambda t: pa.table(
             {
@@ -248,17 +327,15 @@ def grouped_array_agg(
     (group, values list<>, n). Group history must fit the owning worker —
     the same partitioning assumption as every window operator here."""
 
-    def per_group(group: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(order_cols, kind="mergesort")
-        return pd.DataFrame(
-            {
-                group_col: [g[group_col].iloc[0]],
-                "values": [g[value_col].tolist()],
-                "n": [len(g)],
-            }
-        )
+        g = g.sort_values(group_col, kind="mergesort")  # stable → order kept
+        agg = g.groupby(group_col, sort=False)[value_col].agg(list).reset_index()
+        agg.columns = [group_col, "values"]
+        agg["n"] = [len(v) for v in agg["values"]]
+        return agg
 
-    return ds.groupby(group_col).map_groups(per_group, batch_format="pandas")
+    return bucketed_by_key(ds, group_col, per_bucket)
 
 
 def grouped_distinct_count(ds, group_col: str, value_col: str):
@@ -278,15 +355,17 @@ def grouped_distinct_count(ds, group_col: str, value_col: str):
 
     pairs = ds.map_batches(local_pairs, batch_format="pyarrow")
 
-    def per_group(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                group_col: [group[group_col].iloc[0]],
-                "n_distinct": [int(group[value_col].nunique())],
-            }
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            group.groupby(group_col, sort=False)[value_col]
+            .nunique()
+            .reset_index()
         )
+        agg.columns = [group_col, "n_distinct"]
+        agg["n_distinct"] = agg["n_distinct"].astype("int64")
+        return agg
 
-    return pairs.groupby(group_col).map_groups(per_group, batch_format="pandas")
+    return bucketed_by_key(pairs, group_col, per_bucket)
 
 
 def global_topk(ds, k: int, sort_keys: list[tuple[str, str]]):
@@ -386,18 +465,31 @@ def grouped_ntile(
     evenness buckets (first ``remainder`` buckets get the extra row —
     the exact SQL tile rule). Output: (id, group, tile 1-based)."""
 
-    def per_group(group: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values([value_col, id_col], kind="mergesort")
-        cnt = len(g)
-        base, rem = divmod(cnt, n)
-        sizes = [base + 1 if i < rem else base for i in range(n)]
-        tiles = np.repeat(np.arange(1, n + 1), sizes)[:cnt]
+        g = g.sort_values(group_col, kind="mergesort")  # stable → order kept
+        keys = g[group_col].to_numpy()
+        m = len(g)
+        tiles = np.empty(m, dtype=np.int64)
+        if m:
+            _, starts = _key_segments(keys)
+            sizes = np.diff(np.append(starts, m))
+            # SQL NTILE: first cnt%n tiles take floor(cnt/n)+1 rows — all
+            # vectorized via per-row position within its group
+            pos = np.arange(m) - np.repeat(starts, sizes)
+            cnt = np.repeat(sizes, sizes)
+            base, rem = cnt // n, cnt % n
+            cut = rem * (base + 1)  # rows before this are in the fat tiles
+            fat = pos < cut
+            tiles[fat] = pos[fat] // (base[fat] + 1) + 1
+            thin = ~fat  # base > 0 here by construction (pos ≥ rem·(base+1))
+            tiles[thin] = rem[thin] + (pos[thin] - cut[thin]) // base[thin] + 1
         return pd.DataFrame(
             {
                 id_col: g[id_col].to_numpy(),
-                group_col: g[group_col].to_numpy(),
-                "tile": tiles.astype(np.int64),
+                group_col: keys,
+                "tile": tiles,
             }
         )
 
-    return ds.groupby(group_col).map_groups(per_group, batch_format="pandas")
+    return bucketed_by_key(ds, group_col, per_bucket)
