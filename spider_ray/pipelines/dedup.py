@@ -836,28 +836,105 @@ def embedding_neardup_pairs(
     )
 
 
-def dedup_against_reference(ds, ref_hashes, hash_col: str = "content_md5"):
+def _md5hex_to_u64(hashes: list) -> np.ndarray:
+    """First 64 bits of each md5-hex string as uint64 (vectorized via one
+    joined fromhex; None → 0)."""
+    joined = "".join((h or "0" * 16)[:16] for h in hashes)
+    return np.frombuffer(bytes.fromhex(joined), dtype=">u8").astype(np.uint64)
+
+
+def dedup_against_reference(
+    ds,
+    ref_hashes,
+    hash_col: str = "content_md5",
+    broadcast_limit: int = 50_000_000,
+    n_shards: int = 8,
+):
     """Incremental dedup: drop rows whose content hash already exists in
     a PRIOR corpus (the day-2 ingestion problem — new crawl vs existing
-    lake). The reference hash set ships once via ``ray.put`` and each
-    batch filters with a vectorized ``pc.is_in`` — no shuffle, no
-    re-read of the old corpus (its hash column is assumed extracted,
-    e.g. from parquet column pruning). Scale bound: the hash set must
-    fit the object store (10^9 md5-hex ≈ 32 GB; use the sharded
-    seen-actor path beyond that). Returns the surviving rows."""
+    lake). ``ref_hashes`` is a pa.Array / iterable of md5-hex strings, or
+    a ray.data.Dataset holding ``hash_col`` (the at-scale form — the old
+    lake's hash column read with parquet column pruning).
+
+    Two plans, chosen by reference size:
+
+    - **broadcast** (≤ ``broadcast_limit`` keys): the hex array ships once
+      via ``ray.put``; each batch filters with vectorized ``pc.is_in`` —
+      exact on the full digest, no shuffle.
+    - **sharded seen actors** (beyond the limit): the reference hashes
+      bulk-load once into hash-partitioned membership shards
+      (state.seen.ShardedSeen — the same store the crawl's URL-seen set
+      uses), keyed by the first 64 digest bits; each new batch
+      batch-probes the owning shards. Neither side ever broadcasts the
+      full set; memory is n_shards-way partitioned and load/probe move
+      each key exactly once. 64-bit keying admits a ~n²/2⁶⁵ false-dup
+      probability (≈0.03 at 10⁹ keys across the whole corpus) — same
+      contract as the crawl's cuckoo seen-set; use the broadcast plan
+      when exactness on the full digest is required.
+
+    Returns the surviving rows as a Dataset."""
     import pyarrow.compute as pc
 
     import ray
 
-    if not isinstance(ref_hashes, pa.Array):
-        ref_hashes = pa.array(list(ref_hashes), pa.string())
-    ref = ray.put(ref_hashes)
+    ref_ds = None
+    if hasattr(ref_hashes, "map_batches"):  # ray Dataset
+        ref_ds = ref_hashes
+        n_ref = ref_ds.count()
+    else:
+        if not isinstance(ref_hashes, pa.Array):
+            ref_hashes = pa.array(list(ref_hashes), pa.string())
+        n_ref = len(ref_hashes)
 
-    def keep_new(batch: pa.Table) -> pa.Table:
-        seen = ray.get(ref)
-        mask = pc.fill_null(
-            pc.is_in(batch.column(hash_col), value_set=seen), False
-        )
-        return batch.filter(pc.invert(mask))
+    if n_ref <= broadcast_limit:
+        if ref_ds is not None:
+            tbls = [t for t in ray.get(ref_ds.to_arrow_refs()) if t.num_rows]
+            ref_hashes = (
+                pa.concat_tables(tbls)
+                .column(hash_col)
+                .cast(pa.string())
+                .combine_chunks()
+                if tbls
+                else pa.array([], pa.string())
+            )
+        ref = ray.put(ref_hashes)
 
-    return ds.map_batches(keep_new, batch_format="pyarrow")
+        def keep_new(batch: pa.Table) -> pa.Table:
+            seen = ray.get(ref)
+            mask = pc.fill_null(
+                pc.is_in(batch.column(hash_col), value_set=seen), False
+            )
+            return batch.filter(pc.invert(mask))
+
+        return ds.map_batches(keep_new, batch_format="pyarrow")
+
+    # -- sharded-membership plan ------------------------------------------
+    from ..state.seen import ShardedSeen
+
+    seen = ShardedSeen.create(
+        n_shards=n_shards,
+        capacity_per_shard=max(1 << 16, int(n_ref * 1.5) // n_shards),
+        exact=True,
+    )
+
+    def load(batch: pa.Table) -> pa.Table:
+        seen.add(_md5hex_to_u64(batch.column(hash_col).to_pylist()))
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    if ref_ds is not None:
+        # distributed bulk load: every map task batch-RPCs its rows to the
+        # owning shards; the driver holds nothing
+        for _ in ref_ds.map_batches(load, batch_format="pyarrow").iter_batches():
+            pass
+    else:
+        step = 1 << 20
+        for lo in range(0, n_ref, step):
+            seen.add(
+                _md5hex_to_u64(ref_hashes.slice(lo, step).to_pylist())
+            )
+
+    def keep_new_sharded(batch: pa.Table) -> pa.Table:
+        mask = seen.probe(_md5hex_to_u64(batch.column(hash_col).to_pylist()))
+        return batch.filter(pa.array(~mask))
+
+    return ds.map_batches(keep_new_sharded, batch_format="pyarrow")

@@ -225,6 +225,20 @@ class ShardedSeen:
             out[shard_ids == s] = mask
         return out
 
+    def add(self, keys: np.ndarray) -> None:
+        """Batched, sharded insert without membership report (bulk load)."""
+        keys = np.asarray(keys, dtype=np.uint64)
+        if len(keys) == 0:
+            return
+        _, parts = self._split(keys)
+        ray.get(
+            [
+                self.shards[s].add.remote(parts[s])
+                for s in range(self.n_shards)
+                if len(parts[s])
+            ]
+        )
+
     def snapshot_table(self):
         """Seen-set checkpoint as an Arrow table (schemas.SEEN_SCHEMA)."""
         import pyarrow as pa

@@ -304,6 +304,48 @@ def test_dedup_against_reference_drops_seen_hashes(ray_session):
     assert out["doc_id"].tolist() == [1, 4, 5]
 
 
+def test_dedup_against_reference_sharded_matches_broadcast(ray_session):
+    """Force broadcast_limit=0 so the sharded seen-actor plan runs; the
+    keep-set must equal the broadcast plan's, for both array-form and
+    Dataset-form references (full md5-hex keys, realistic prefixes)."""
+    import hashlib as _hl
+
+    import pyarrow as pa
+    import ray
+
+    from spider_ray.pipelines.dedup import dedup_against_reference
+
+    all_hashes = [_hl.md5(str(i).encode()).hexdigest() for i in range(300)]
+    ref_list = all_hashes[:120]  # first 120 already in the "lake"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(300), pa.int64()),
+            "content_md5": pa.array(all_hashes, pa.string()),
+        }
+    )
+    new_ds = ray.data.from_arrow(tbl).repartition(5)
+    expected = sorted(range(120, 300))
+
+    broadcast = dedup_against_reference(new_ds, ref_list).to_pandas()
+    assert sorted(broadcast["doc_id"]) == expected
+
+    sharded = dedup_against_reference(
+        new_ds, ref_list, broadcast_limit=0, n_shards=3
+    ).to_pandas()
+    assert sorted(sharded["doc_id"]) == expected
+
+    ref_ds = ray.data.from_arrow(
+        pa.table({"content_md5": pa.array(ref_list, pa.string())})
+    ).repartition(4)
+    sharded_ds = dedup_against_reference(
+        new_ds, ref_ds, broadcast_limit=0, n_shards=3
+    ).to_pandas()
+    assert sorted(sharded_ds["doc_id"]) == expected
+    # Dataset reference through the broadcast plan too (small-lake case)
+    broadcast_ds = dedup_against_reference(new_ds, ref_ds).to_pandas()
+    assert sorted(broadcast_ds["doc_id"]) == expected
+
+
 def test_ngram_counts_min_count_pruning(ray_session):
     import pyarrow as pa
     import ray
