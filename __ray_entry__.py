@@ -984,13 +984,74 @@ SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
 
 
 def _q_lang_quality(sf_dir: str) -> pa.Table:
+    """Trigram language-ID + quality score per document
+    (pipelines.textops.lang_quality_batch). Oracle: exact SQL replica —
+    the trigram profiles / stopword set are literal lists, the argmax
+    tie-break mirrors the Python dict-order rule, and quality ships as
+    the ppm-quantized integer ``quality_q`` (functions.text
+    .quality_score_q) so the value-hash gate compares integers."""
     _ctx()
     from spider_ray.pipelines.textops import lang_quality_batch
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         lang_quality_batch, batch_format="pyarrow"
     )
-    return _collect(ds).select(["doc_id", "lang_pred", "quality"])
+    return (
+        _collect(ds).select(["doc_id", "lang_pred", "quality_q"]).sort_by("doc_id")
+    )
+
+
+# Exact replica of functions.text.lang_id + quality_score_q: the CASE
+# chain encodes the Python dict-order first-max-wins tie-break
+# (en → es → de → fr); quality_q = 400000·length_ok + 200000·stop_hit +
+# floor(min(1, (n_alpha/n_chars)·1.25)·400000 + 0.5) with the same IEEE
+# double op order as the Python side (ASCII corpus ⇒ isalpha ≡ [A-Za-z]).
+_SQL_LANG_QUALITY = """
+WITH base AS (
+  SELECT doc_id, text, ' ' || lower(text) || ' ' AS lowered FROM documents
+),
+g AS (
+  SELECT doc_id, text,
+    list_transform(range(1, greatest(length(lowered) - 1, 1)),
+                   i -> substr(lowered, i::INT, 3)) AS grams
+  FROM base
+),
+s AS (
+  SELECT doc_id, text,
+    len(list_filter(grams, x -> list_contains(
+      [' of',' th','and','ent','er ','he ','ing','ion','of ','the'], x))) AS s_en,
+    len(list_filter(grams, x -> list_contains(
+      [' de',' el',' la','as ','de ','el ','ent','la ','os ','ión'], x))) AS s_es,
+    len(list_filter(grams, x -> list_contains(
+      [' de','ch ','der','die','ein','en ','er ','ie ','sch','und'], x))) AS s_de,
+    len(list_filter(grams, x -> list_contains(
+      [' de',' la',' le','de ','ent','es ','ion','la ','le ','que'], x))) AS s_fr
+  FROM g
+),
+q AS (
+  SELECT doc_id, text,
+    CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+         WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+         WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+         WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+         ELSE 'fr' END AS lang_pred,
+    length(text) AS n_chars,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+    CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 400000 ELSE 0 END AS length_ok,
+    CASE WHEN len(list_intersect(
+           list_transform(regexp_split_to_array(trim(text), '\\s+'), w -> lower(w)),
+           ['the','and','of','a','to','in','is','it','that','for'])) > 0
+         THEN 200000 ELSE 0 END AS stop_hit
+  FROM s
+)
+SELECT doc_id, lang_pred,
+  (length_ok + stop_hit +
+   CAST(floor(least(1.0,
+     (CASE WHEN n_chars > 0 THEN n_alpha::DOUBLE / n_chars ELSE 0.0 END) * 1.25
+   ) * 400000.0 + 0.5) AS BIGINT))::BIGINT AS quality_q
+FROM q
+ORDER BY doc_id
+"""
 
 
 def _q_fingerprints(sf_dir: str) -> pa.Table:
@@ -1237,6 +1298,35 @@ def _q_ivf_topk(sf_dir: str) -> pa.Table:
     )
     out = ivf_topk(
         ds, queries, k=10, n_cells=16, n_probe=8, index_dir=idx_dir
+    ).to_pandas()
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"].astype("int64")),
+            "rank": pa.array(out["rank"].astype("int64")),
+            "vec_id": pa.array(out["vec_id"].astype("int64")),
+        }
+    )
+
+
+def _q_ivf_topk_exact(sf_dir: str) -> pa.Table:
+    """The SAME physical IVF index as ivf_topk, probed with
+    n_probe = n_cells — every cell is read, so the result is exactly the
+    brute-force cosine top-k and the ann_topk SQL oracle pins the whole
+    IVF machinery (quantizer, hive cell layout, probed-cell reads, partial
+    top-k merge, tie-break) end-to-end. The pruning behaviour of the
+    partial-probe path stays asserted in tests/test_ann.py."""
+    _ctx()
+    import hashlib as _hl
+
+    from spider_ray.pipelines.ann import ivf_topk
+
+    queries = _query_vectors(sf_dir, 3)
+    ds = _read(sf_dir, "embeddings")
+    idx_dir = (
+        f"/tmp/spider_ray_ivf/{_hl.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    out = ivf_topk(
+        ds, queries, k=10, n_cells=16, n_probe=16, index_dir=idx_dir
     ).to_pandas()
     return pa.table(
         {
@@ -3149,24 +3239,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
         "fingerprints": _q_fingerprints,
+        "lang_quality": _q_lang_quality,
+        "ivf_topk_exact": _q_ivf_topk_exact,
         # -- flagship crawl family (one cached crawl serves all four) ------
         "crawl_order": _q_crawl_order,
         "crawl_order_distributed": _q_crawl_order_distributed,
         "crawl_captions": _q_crawl_captions,
         "crawl_lineage": _q_crawl_lineage,
-        # -- previously-green re-confirmation spread ------------------------
+        # -- changed-since-green re-confirmation spread (split-wave crawl,
+        #    de-drivered dedup, bucket-vectorized windows, arrow exchanges,
+        #    fixed-point pagerank) -------------------------------------------
         "embedding_neardup": _q_embedding_neardup,
         "ann_topk": _q_ann_topk,
-        "jpeg_transcode_conformance": _q_jpeg_transcode_conformance,
-        "token_counts": _q_token_counts,
+        "events_sliding_agg": _q_events_sliding_agg,
         "dedup_exact_docs": _q_dedup_exact_docs,
         "events_hour_agg": _q_events_hour_agg,
         "events_sessionize": _q_events_sessionize,
         "pagerank": _q_pagerank,
         "connected_components": _q_connected_components,
-        "doc_freq": _q_doc_freq,
         "seen_dedup_exact": _q_seen_dedup,
         # ---- top-50 window ends here (50 entries above) -------------------
+        # unchanged entries with green r1/r2 rows, still parity-tested
+        "token_counts": _q_token_counts,
+        "doc_freq": _q_doc_freq,
+        "jpeg_transcode_conformance": _q_jpeg_transcode_conformance,
         # URL / link / detector operators (green in r1 AND r2)
         "canonicalize_urls": _q_canonicalize,
         "url_hash_shards": _q_url_hash_shards,
@@ -3185,14 +3281,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl4ai_markdown": _q_crawl4ai_markdown,
         # remaining green-in-r2 and rows-only entries
         "text_stats": _q_text_stats,
-        "events_sliding_agg": _q_events_sliding_agg,
         "events_topk_per_type": _q_events_topk_per_type,
         "distinct_sources": _q_distinct_sources,
         "hash_sample": _q_hash_sample,
         "events_topk_users": _q_events_topk_users,
         "value_quantiles": _q_value_quantiles,
         "stratified_sample": _q_stratified_sample,
-        "lang_quality": _q_lang_quality,
         "image_training_table": _q_image_training_table,
         "ivf_topk": _q_ivf_topk,
         "approx_value_quantiles": _q_approx_value_quantiles,
@@ -3275,7 +3369,9 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": _FIXTURE_SQL.SQL_AUDIO_FEATURES,
         "video_frames": _FIXTURE_SQL.SQL_VIDEO_FRAMES,
         "fingerprints": _SQL_FINGERPRINTS,
-        # ivf_topk / approx_value_quantiles / kmeans_embeddings /
-        # lang_quality / image_training_table stay rows-only (approximate
-        # / sketch / iterative-float / heuristic / crawl-composition).
+        "lang_quality": _SQL_LANG_QUALITY,
+        "ivf_topk_exact": _SQL_ANN_TOPK,  # full probe ≡ brute force
+        # ivf_topk (partial probe) / approx_value_quantiles /
+        # kmeans_embeddings / image_training_table stay rows-only
+        # (approximate / sketch / iterative-float / crawl-composition).
     }

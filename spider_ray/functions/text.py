@@ -118,6 +118,24 @@ def quality_score(text: str) -> float:
     return round(0.4 * length_ok + 0.4 * min(1.0, stats["alpha_ratio"] * 1.25) + 0.2 * stop_hit, 6)
 
 
+def quality_score_q(text: str) -> int:
+    """Integer (ppm) quality score — the same three components as
+    ``quality_score`` but quantized so a SQL oracle reproduces it
+    bit-for-bit: the two boolean components are exact integers and the
+    single float term goes through ``floor(x·400000 + 0.5)`` with the
+    identical IEEE-double op order on both sides
+    (``n_alpha/n_chars → ·1.25 → min → ·400000 → +0.5 → floor``)."""
+    import math
+
+    n_chars = len(text)
+    n_alpha = sum(1 for c in text if c.isalpha())
+    length_ok = 400_000 if 20 <= n_chars <= 100_000 else 0
+    words = {w.lower() for w in _WS_SPLIT_RE.split(text.strip())} if text.strip() else set()
+    stop_hit = 200_000 if words & _STOPWORDS["en"] else 0
+    alpha = (n_alpha / n_chars) if n_chars else 0.0
+    return length_ok + stop_hit + math.floor(min(1.0, alpha * 1.25) * 400_000.0 + 0.5)
+
+
 def lang_id(text: str) -> str:
     """Character-trigram heuristic language ID over {en, es, de, fr}; 'und'
     when nothing scores."""

@@ -46,11 +46,19 @@ def text_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def lang_quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    from ..functions.text import quality_score_q
+
     texts = batch.column(text_col).to_pylist()
-    return batch.append_column(
-        "lang_pred", pa.array([lang_id(t) for t in texts], pa.string())
-    ).append_column(
-        "quality", pa.array([quality_score(t) for t in texts], pa.float64())
+    return (
+        batch.append_column(
+            "lang_pred", pa.array([lang_id(t) for t in texts], pa.string())
+        )
+        .append_column(
+            "quality", pa.array([quality_score(t) for t in texts], pa.float64())
+        )
+        .append_column(
+            "quality_q", pa.array([quality_score_q(t) for t in texts], pa.int64())
+        )
     )
 
 
