@@ -1054,6 +1054,143 @@ ORDER BY doc_id
 """
 
 
+def _q_repetition_signals(sf_dir: str) -> pa.Table:
+    """Gopher-style repetition quality counts per document
+    (pipelines.curation.repetition_signals — map-only). All-integer
+    output so the oracle value-hash is exact."""
+    _ctx()
+    from spider_ray.pipelines.curation import repetition_signals
+
+    ds = repetition_signals(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+    return (
+        _collect(ds)
+        .select(
+            [
+                "doc_id", "n_words", "n_bigrams", "n_distinct_bigrams",
+                "top_bigram_cnt", "n_3grams", "dup3_cnt",
+            ]
+        )
+        .sort_by("doc_id")
+    )
+
+
+# Exact replica of curation.repetition_signals_batch. DuckDB list
+# slicing words[a:b] is 1-based inclusive; range(1, len-1) enumerates the
+# len-2 3-gram starts. The empty-text edge matches because both sides
+# treat '' as the single token [''].
+_SQL_REPETITION_SIGNALS = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM documents
+),
+g AS (
+  SELECT doc_id, len(words) AS n_words,
+    list_transform(range(1, len(words)),
+                   i -> words[i::INT] || ' ' || words[(i+1)::INT]) AS bigrams,
+    CASE WHEN len(words) >= 3 THEN
+      list_transform(range(1, len(words) - 1),
+        i -> array_to_string(words[i::INT : (i+2)::INT], ' '))
+    ELSE [] END AS g3
+  FROM w
+),
+cnt AS (
+  SELECT doc_id, max(c) AS top_bigram_cnt FROM (
+    SELECT doc_id, gram, count(*) AS c
+    FROM (SELECT doc_id, unnest(bigrams) AS gram FROM g)
+    GROUP BY doc_id, gram
+  ) GROUP BY doc_id
+)
+SELECT g.doc_id, n_words::BIGINT AS n_words, len(bigrams)::BIGINT AS n_bigrams,
+  len(list_distinct(bigrams))::BIGINT AS n_distinct_bigrams,
+  coalesce(cnt.top_bigram_cnt, 0)::BIGINT AS top_bigram_cnt,
+  len(g3)::BIGINT AS n_3grams,
+  (len(g3) - len(list_distinct(g3)))::BIGINT AS dup3_cnt
+FROM g LEFT JOIN cnt USING (doc_id) ORDER BY doc_id
+"""
+
+
+def _q_decontaminate(sf_dir: str) -> pa.Table:
+    """Benchmark decontamination (pipelines.curation.decontaminate):
+    documents with doc_id % 11 == 0 stand in for the eval set; every
+    other document is flagged iff it shares a word 4-gram with that set.
+    Broadcast-probe shape: bench grams cross the cluster once (ray.put),
+    the corpus streams map-only."""
+    _ctx()
+    import numpy as np
+
+    from spider_ray.pipelines.curation import bench_ngram_set, decontaminate
+
+    def _mod11(want_zero: bool):
+        def f(t: pa.Table) -> pa.Table:  # vectorized, not a row filter
+            mod = np.asarray(t.column("doc_id")) % 11 == 0
+            return t.filter(pa.array(mod if want_zero else ~mod))
+
+        return f
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = bench_ngram_set(
+        docs.map_batches(_mod11(True), batch_format="pyarrow"), n=4
+    )
+    flagged = decontaminate(
+        docs.map_batches(_mod11(False), batch_format="pyarrow"), bench, n=4
+    )
+    return _collect(flagged).select(["doc_id", "contaminated"]).sort_by("doc_id")
+
+
+_SQL_DECONTAMINATE = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM documents
+),
+g AS (
+  SELECT doc_id, CASE WHEN len(words) >= 4 THEN
+      list_transform(range(1, len(words) - 2),
+        i -> array_to_string(words[i::INT : (i+3)::INT], ' '))
+    ELSE [] END AS grams
+  FROM w
+),
+bench AS (
+  SELECT list(DISTINCT gram) AS bg FROM (
+    SELECT unnest(grams) AS gram FROM g WHERE doc_id % 11 = 0
+  )
+)
+SELECT doc_id,
+  CASE WHEN len(list_intersect(grams, bg)) > 0 THEN 1 ELSE 0 END::BIGINT
+    AS contaminated
+FROM g CROSS JOIN bench WHERE doc_id % 11 <> 0 ORDER BY doc_id
+"""
+
+
+def _q_pattern_counts(sf_dir: str) -> pa.Table:
+    """Vectorized regex occurrence counts per document
+    (pipelines.curation.regex_count, Arrow RE2 kernel — the PII-scan
+    shape; patterns here chosen to have live counts on this corpus).
+    DuckDB's regexp_extract_all is RE2 too, so the dialects agree."""
+    _ctx()
+    from spider_ray.pipelines.curation import regex_count
+
+    ds = regex_count(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        {
+            "the_n": r"\bthe\b",
+            "long_word_n": r"[a-z]{6,}",
+            "sort_merge_n": r"sort merge",
+        },
+    )
+    return (
+        _collect(ds)
+        .select(["doc_id", "the_n", "long_word_n", "sort_merge_n"])
+        .sort_by("doc_id")
+    )
+
+
+_SQL_PATTERN_COUNTS = r"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '\bthe\b'))::BIGINT AS the_n,
+  len(regexp_extract_all(text, '[a-z]{6,}'))::BIGINT AS long_word_n,
+  len(regexp_extract_all(text, 'sort merge'))::BIGINT AS sort_merge_n
+FROM documents ORDER BY doc_id
+"""
+
+
 def _q_fingerprints(sf_dir: str) -> pa.Table:
     """Winnowing-style 64-bit document fingerprints (min of stepped md5
     window hashes). Oracle: exact SQL replica — DuckDB md5 over the same
@@ -3287,6 +3424,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk_users": _q_events_topk_users,
         "value_quantiles": _q_value_quantiles,
         "stratified_sample": _q_stratified_sample,
+        # curation family (added r3 — oracle-backed, below the window
+        # until the next reorder; parity-tested every session)
+        "repetition_signals": _q_repetition_signals,
+        "decontaminate_docs": _q_decontaminate,
+        "pattern_counts": _q_pattern_counts,
         "image_training_table": _q_image_training_table,
         "ivf_topk": _q_ivf_topk,
         "approx_value_quantiles": _q_approx_value_quantiles,
@@ -3371,6 +3513,9 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": _SQL_FINGERPRINTS,
         "lang_quality": _SQL_LANG_QUALITY,
         "ivf_topk_exact": _SQL_ANN_TOPK,  # full probe ≡ brute force
+        "repetition_signals": _SQL_REPETITION_SIGNALS,
+        "decontaminate_docs": _SQL_DECONTAMINATE,
+        "pattern_counts": _SQL_PATTERN_COUNTS,
         # ivf_topk (partial probe) / approx_value_quantiles /
         # kmeans_embeddings / image_training_table stay rows-only
         # (approximate / sketch / iterative-float / crawl-composition).

@@ -1,0 +1,166 @@
+"""Training-data curation operators.
+
+Three families a 100-TB text-curation pipeline needs beyond dedup:
+
+- **repetition_signals** — Gopher-style repetition quality metrics per
+  document (duplicate-n-gram and top-n-gram counts, as exact integers so
+  a SQL oracle can value-hash them). Rahimi et al. / Gopher (Rae et al.
+  2021, §A1.1) filter documents whose text is dominated by repeated
+  n-grams; we emit the raw counts and leave thresholding to the caller.
+- **decontaminate** — benchmark decontamination: flag corpus documents
+  that share any word n-gram with a (small) benchmark/eval set, the
+  standard guard against train/test leakage (GPT-3 appendix C uses
+  13-gram overlap; the n is a parameter here). The benchmark side is a
+  broadcast small side: collected once, ``ray.put`` once, probed inside
+  every ``map_batches`` task — never a shuffle join.
+- **regex_count** — vectorized per-row regex occurrence counts
+  (PII-shaped scans: emails, phone numbers, IPs, …) via Arrow's RE2
+  kernel ``pc.count_substring_regex`` — zero Python per row, and RE2 is
+  the same engine DuckDB's ``regexp_extract_all`` uses, so oracles agree
+  on dialect.
+
+All three are map-only (no shuffle): they scale with read bandwidth.
+
+Scale bounds, stated: ``bench_ngram_set`` materializes the benchmark
+n-gram set on the driver. Benchmarks are eval sets (10^2–10^6 documents,
+≤ ~10^7 distinct grams ≈ hundreds of MB as strings) — the small side by
+construction. For a pathological benchmark beyond that, shard the grams
+by hash and probe via the same sharded-membership actors the
+incremental-dedup path uses (state/seen.py ShardedSeen); the per-batch
+probe below is already batched, so only the set construction changes.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+
+def _words(text: str | None) -> list[str]:
+    """Whitespace tokens with SQL semantics: DuckDB's
+    ``regexp_split_to_array(trim(text), '\\s+')`` yields ``['']`` for an
+    empty-after-trim string, never ``[]`` — mirror that exactly so the
+    integer counts value-hash against the oracle."""
+    stripped = (text or "").strip()
+    return stripped.split() if stripped else [""]
+
+
+def repetition_signals_batch(
+    batch: pa.Table, text_col: str = "text"
+) -> pa.Table:
+    """Per-document repetition counts, all int64:
+
+    n_words, n_bigrams, n_distinct_bigrams, top_bigram_cnt (occurrences
+    of the most frequent word bigram), n_3grams, dup3_cnt (word 3-gram
+    occurrences beyond the first of each distinct 3-gram).
+
+    Fractions (Gopher's dup-n-gram char fraction etc.) are one divide
+    away; integers keep the oracle comparison exact."""
+    cols = {
+        "n_words": [], "n_bigrams": [], "n_distinct_bigrams": [],
+        "top_bigram_cnt": [], "n_3grams": [], "dup3_cnt": [],
+    }
+    for text in batch.column(text_col).to_pylist():
+        w = _words(text)
+        bigrams = [w[i] + " " + w[i + 1] for i in range(len(w) - 1)]
+        c = Counter(bigrams)
+        g3 = (
+            [" ".join(w[i : i + 3]) for i in range(len(w) - 2)]
+            if len(w) >= 3
+            else []
+        )
+        cols["n_words"].append(len(w))
+        cols["n_bigrams"].append(len(bigrams))
+        cols["n_distinct_bigrams"].append(len(c))
+        cols["top_bigram_cnt"].append(max(c.values()) if c else 0)
+        cols["n_3grams"].append(len(g3))
+        cols["dup3_cnt"].append(len(g3) - len(set(g3)))
+    for name, vals in cols.items():
+        batch = batch.append_column(name, pa.array(vals, pa.int64()))
+    return batch
+
+
+def repetition_signals(ds, text_col: str = "text"):
+    """Dataset → Dataset with the six repetition-count columns appended."""
+    return ds.map_batches(
+        lambda t: repetition_signals_batch(t, text_col),
+        batch_format="pyarrow",
+    )
+
+
+def _doc_ngrams(text: str | None, n: int) -> set[str]:
+    w = _words(text)
+    if len(w) < n:
+        return set()
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+def bench_ngram_set(bench_ds, n: int = 4, text_col: str = "text") -> frozenset[str]:
+    """Distinct word n-grams of the benchmark dataset, collected to the
+    driver (the small side — see module docstring for the bound). Each
+    batch contributes its distinct grams only, so the collect moves
+    O(distinct) strings, not O(occurrences)."""
+    def batch_grams(t: pa.Table) -> pa.Table:
+        grams: set[str] = set()
+        for text in t.column(text_col).to_pylist():
+            grams |= _doc_ngrams(text, n)
+        return pa.table({"gram": pa.array(sorted(grams), pa.string())})
+
+    parts = bench_ds.map_batches(batch_grams, batch_format="pyarrow")
+    out: set[str] = set()
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        out.update(b.column("gram").to_pylist())
+    return frozenset(out)
+
+
+def decontaminate(
+    ds,
+    bench_grams: frozenset[str],
+    n: int = 4,
+    text_col: str = "text",
+):
+    """Append ``contaminated`` (int64 0/1): 1 iff the document shares at
+    least one word n-gram with the benchmark set. Broadcast probe: the
+    gram set crosses the cluster once via ``ray.put``; each task reads
+    the shared object-store copy (zero per-batch reshipping)."""
+    ref = ray.put(bench_grams)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bench = ray.get(ref)
+        flags = [
+            1 if not _doc_ngrams(text, n).isdisjoint(bench) else 0
+            for text in batch.column(text_col).to_pylist()
+        ]
+        return batch.append_column(
+            "contaminated", pa.array(flags, pa.int64())
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def regex_count(ds, patterns: dict[str, str], text_col: str = "text"):
+    """Append one int64 count column per named RE2 pattern — fully
+    vectorized (``pc.count_substring_regex``, Arrow C++): no Python per
+    row. PII-shaped defaults live in ``PII_PATTERNS``."""
+
+    def scan(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        for name, pat in patterns.items():
+            counts = pc.count_substring_regex(col, pattern=pat)
+            batch = batch.append_column(name, counts.cast(pa.int64()))
+        return batch
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+# RE2-compatible PII-shaped scan patterns (also valid in DuckDB, which
+# uses RE2 for regexp_extract_all — oracle dialect-identical).
+PII_PATTERNS = {
+    "email_n": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4_n": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone_n": r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+    "ssn_shaped_n": r"\b\d{3}-\d{2}-\d{4}\b",
+}

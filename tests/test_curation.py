@@ -1,0 +1,109 @@
+"""Curation operators: repetition signals, decontamination, regex scans."""
+
+import pyarrow as pa
+import ray
+
+from spider_ray.pipelines.curation import (
+    PII_PATTERNS,
+    bench_ngram_set,
+    decontaminate,
+    regex_count,
+    repetition_signals,
+)
+
+
+def _docs(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(rows)), pa.int64()),
+                "text": pa.array(rows, pa.string()),
+            }
+        )
+    )
+
+
+def _collect(ds) -> pa.Table:
+    return pa.concat_tables(
+        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    )
+
+
+def _by_id(table: pa.Table) -> dict:
+    rows = table.to_pylist()
+    return {r["doc_id"]: r for r in rows}
+
+
+def test_repetition_signals_counts(ray_session):
+    ds = _docs(
+        [
+            "a b a b a b",          # heavy bigram repetition
+            "one two three four",   # all distinct
+            "x",                    # too short for any n-gram
+            "",                     # empty → the single '' token
+        ]
+    )
+    out = _by_id(_collect(repetition_signals(ds)))
+    r0 = out[0]
+    # "a b a b a b": bigrams = [a b, b a, a b, b a, a b] → top count 3
+    assert (r0["n_words"], r0["n_bigrams"], r0["n_distinct_bigrams"]) == (6, 5, 2)
+    assert r0["top_bigram_cnt"] == 3
+    # 3-grams: [a b a, b a b, a b a, b a b] → 4 total, 2 distinct → 2 dups
+    assert (r0["n_3grams"], r0["dup3_cnt"]) == (4, 2)
+    r1 = out[1]
+    assert (r1["top_bigram_cnt"], r1["dup3_cnt"]) == (1, 0)
+    r2 = out[2]
+    assert (r2["n_words"], r2["n_bigrams"], r2["n_3grams"]) == (1, 0, 0)
+    r3 = out[3]  # '' → [''] single token, SQL split semantics
+    assert (r3["n_words"], r3["n_bigrams"], r3["top_bigram_cnt"]) == (1, 0, 0)
+
+
+def test_decontaminate_flags_shared_ngram(ray_session):
+    bench_ds = _docs(["the quick brown fox jumps"])
+    bench = bench_ngram_set(bench_ds, n=4)
+    # 4-grams of a 5-word doc: 2 grams
+    assert bench == {
+        "the quick brown fox",
+        "quick brown fox jumps",
+    }
+    corpus = _docs(
+        [
+            "i saw the quick brown fox yesterday",  # contains bench 4-gram
+            "the quick red fox jumps high",          # no shared 4-gram
+            "tiny",                                  # too short
+        ]
+    )
+    out = _by_id(_collect(decontaminate(corpus, bench, n=4)))
+    assert out[0]["contaminated"] == 1
+    assert out[1]["contaminated"] == 0
+    assert out[2]["contaminated"] == 0
+
+
+def test_decontaminate_empty_benchmark(ray_session):
+    corpus = _docs(["anything at all goes here"])
+    out = decontaminate(corpus, frozenset(), n=4).take_all()
+    assert out[0]["contaminated"] == 0
+
+
+def test_regex_count_pii_patterns(ray_session):
+    import re
+
+    rows = [
+        "contact bob@example.com or alice@test.org today",
+        "server at 10.0.0.1 and 192.168.1.254 responded",
+        "call 555-123-4567 or 555 987 6543",
+        "ssn 123-45-6789 leaked",
+        "clean text with no sensitive content",
+    ]
+    got = _by_id(_collect(regex_count(_docs(rows), PII_PATTERNS)))
+    assert got[0]["email_n"] == 2
+    assert got[1]["ipv4_n"] == 2
+    assert got[2]["phone_n"] == 2
+    assert got[3]["ssn_shaped_n"] == 1
+    assert all(
+        got[4][k] == 0 for k in ("email_n", "ipv4_n", "phone_n", "ssn_shaped_n")
+    )
+    # cross-check the vectorized kernel against Python re on every row
+    for i, text in enumerate(rows):
+        for name, pat in PII_PATTERNS.items():
+            assert got[i][name] == len(re.findall(pat, text)), (i, name)
