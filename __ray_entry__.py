@@ -1054,6 +1054,150 @@ ORDER BY doc_id
 """
 
 
+def _q_events_user_rank(sf_dir: str) -> pa.Table:
+    """ROW_NUMBER / RANK / DENSE_RANK leaderboard: users ranked per
+    event_type by event count (pipelines.events.grouped_rank over a
+    preagg_sum combiner — count shuffle carries one row per
+    (type, user), the window exchange one row per ranked entity)."""
+    _ctx()
+    from spider_ray.pipelines.events import grouped_rank
+    from spider_ray.pipelines.relational import preagg_sum
+
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    counts = preagg_sum(ev, ["event_type", "user_id"], [], count_alias="n")
+    ranked = grouped_rank(
+        counts, group_col="event_type", value_col="n", id_col="user_id",
+        ascending=False,
+    )
+    out = _collect(ranked).select(
+        ["event_type", "user_id", "n", "row_num", "rnk", "dense_rnk"]
+    )
+    return (
+        out.set_column(2, "n", out.column("n").cast(pa.int64()))
+        .sort_by([("event_type", "ascending"), ("row_num", "ascending")])
+    )
+
+
+_SQL_EVENTS_USER_RANK = """
+WITH n AS (
+  SELECT event_type, user_id, count(*)::BIGINT AS n
+  FROM events GROUP BY event_type, user_id
+)
+SELECT event_type, user_id, n,
+  row_number() OVER w AS row_num,
+  rank() OVER w2 AS rnk,
+  dense_rank() OVER w2 AS dense_rnk
+FROM n
+WINDOW w AS (PARTITION BY event_type ORDER BY n DESC, user_id),
+       w2 AS (PARTITION BY event_type ORDER BY n DESC)
+ORDER BY event_type, row_num
+"""
+
+
+def _q_full_outer_counts(sf_dir: str) -> pa.Table:
+    """FULL OUTER join of two large aggregated sides (per-user click
+    counts ⟗ per-user purchase counts) via the bucketed tagged-union
+    exchange (relational.bucketed_hash_join how="outer") — users with
+    only clicks, only purchases, and both all survive."""
+    _ctx()
+    import pyarrow.compute as pc
+
+    from spider_ray.pipelines.relational import bucketed_hash_join, preagg_sum
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def _typed(event_type: str):
+        def f(t: pa.Table) -> pa.Table:
+            mask = pc.equal(t.column("event_type"), event_type)
+            return t.filter(mask).select(["user_id"])
+
+        return f
+
+    clicks = preagg_sum(
+        ev.map_batches(_typed("click"), batch_format="pyarrow"),
+        ["user_id"], [], count_alias="n_clicks",
+    )
+    purchases = preagg_sum(
+        ev.map_batches(_typed("purchase"), batch_format="pyarrow"),
+        ["user_id"], [], count_alias="n_purch",
+    )
+    joined = bucketed_hash_join(
+        clicks, purchases, on="user_id",
+        left_cols=["n_clicks"], right_cols=["n_purch"], how="outer",
+    )
+    df = _collect(joined).to_pandas()
+    for c in ("n_clicks", "n_purch"):
+        df[c] = df[c].fillna(0).astype("int64")
+    df = df.sort_values("user_id").reset_index(drop=True)
+    return pa.table(
+        {
+            "user_id": pa.array(df["user_id"].astype("int64")),
+            "n_clicks": pa.array(df["n_clicks"]),
+            "n_purch": pa.array(df["n_purch"]),
+        }
+    )
+
+
+_SQL_FULL_OUTER_COUNTS = """
+WITH c AS (
+  SELECT user_id, count(*)::BIGINT AS n_clicks FROM events
+  WHERE event_type = 'click' GROUP BY user_id
+),
+p AS (
+  SELECT user_id, count(*)::BIGINT AS n_purch FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT coalesce(c.user_id, p.user_id)::BIGINT AS user_id,
+  coalesce(n_clicks, 0)::BIGINT AS n_clicks,
+  coalesce(n_purch, 0)::BIGINT AS n_purch
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+ORDER BY user_id
+"""
+
+
+def _q_rollup_lineitem(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) over integer-cent
+    quantities (relational.rollup_sum: one distributed finest-level
+    pass, coarser levels re-aggregated from the small result)."""
+    _ctx()
+    from spider_ray.pipelines.relational import rollup_sum
+
+    li = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        q = np.floor(
+            t.column("l_quantity").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty_c": pa.array(q, pa.int64()),
+            }
+        )
+
+    out = rollup_sum(
+        li.map_batches(cents, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"], "qty_c", "sum_qty_c",
+    )
+    return out.sort_by(
+        [
+            ("l_returnflag", "ascending"),
+            ("l_linestatus", "ascending"),
+            ("sum_qty_c", "ascending"),
+        ]
+    )
+
+
+_SQL_ROLLUP_LINEITEM = """
+SELECT l_returnflag, l_linestatus,
+  sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))::BIGINT AS sum_qty_c
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus, sum_qty_c
+"""
+
+
 def _q_repetition_signals(sf_dir: str) -> pa.Table:
     """Gopher-style repetition quality counts per document
     (pipelines.curation.repetition_signals — map-only). All-integer
@@ -3429,6 +3573,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_signals": _q_repetition_signals,
         "decontaminate_docs": _q_decontaminate,
         "pattern_counts": _q_pattern_counts,
+        "events_user_rank": _q_events_user_rank,
+        "full_outer_counts": _q_full_outer_counts,
+        "rollup_lineitem": _q_rollup_lineitem,
         "image_training_table": _q_image_training_table,
         "ivf_topk": _q_ivf_topk,
         "approx_value_quantiles": _q_approx_value_quantiles,
@@ -3516,6 +3663,9 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": _SQL_REPETITION_SIGNALS,
         "decontaminate_docs": _SQL_DECONTAMINATE,
         "pattern_counts": _SQL_PATTERN_COUNTS,
+        "events_user_rank": _SQL_EVENTS_USER_RANK,
+        "full_outer_counts": _SQL_FULL_OUTER_COUNTS,
+        "rollup_lineitem": _SQL_ROLLUP_LINEITEM,
         # ivf_topk (partial probe) / approx_value_quantiles /
         # kmeans_embeddings / image_training_table stay rows-only
         # (approximate / sketch / iterative-float / crawl-composition).

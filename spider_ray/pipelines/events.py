@@ -493,3 +493,39 @@ def grouped_ntile(
         )
 
     return bucketed_by_key(ds, group_col, per_bucket)
+
+
+def grouped_rank(
+    ds,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    ascending: bool = False,
+):
+    """SQL ROW_NUMBER / RANK / DENSE_RANK OVER (PARTITION BY group ORDER
+    BY value [DESC], id): one hash exchange on the group key, then each
+    bucket sorts once and computes all three window functions vectorized
+    ACROSS its keys (pandas groupby.rank / cumcount — C kernels, no
+    per-key UDF dispatch). ``id_col`` is the deterministic row_number
+    tie-break; rank/dense_rank tie on ``value_col`` alone, exactly the
+    SQL contract. Output: input columns + (row_num, rnk, dense_rnk)."""
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            [group_col, value_col, id_col],
+            ascending=[True, ascending, True],
+            kind="mergesort",
+        )
+        grp = g.groupby(group_col, sort=False)
+        g = g.assign(
+            row_num=(grp.cumcount() + 1).astype(np.int64),
+            rnk=grp[value_col]
+            .rank(method="min", ascending=ascending)
+            .astype(np.int64),
+            dense_rnk=grp[value_col]
+            .rank(method="dense", ascending=ascending)
+            .astype(np.int64),
+        )
+        return g
+
+    return bucketed_by_key(ds, group_col, per_bucket)

@@ -48,11 +48,12 @@ def bucketed_hash_join(
 
     ``left_cols``/``right_cols`` are the non-key payload columns of each
     side (explicit — the tagged union null-fills the other side's columns,
-    so the in-bucket merge must select per side). ``how`` is "inner" or
+    so the in-bucket merge must select per side). ``how`` is "inner",
     "left" (left-outer: unmatched left rows keep nulls on the right
-    payload — correct per bucket because hash partitioning co-locates ALL
-    rows of a key, so an unmatched-in-bucket left row is unmatched
-    globally)."""
+    payload) or "outer" (full-outer: unmatched rows of BOTH sides
+    survive). Outer semantics are correct per bucket because hash
+    partitioning co-locates ALL rows of a key, so a row unmatched in its
+    bucket is unmatched globally."""
 
     def _ensure_arrow(ds):
         """(ds, arrow schema) — pandas-block datasets get a zero-work
@@ -375,3 +376,51 @@ def semi_anti_join(ds, right_ds, on: str, anti: bool = False, right_on: str | No
         )
 
     return both.groupby("__bucket").map_groups(probe_bucket, batch_format="pandas")
+
+
+def rollup_sum(ds, keys: list[str], sum_col: str, alias: str) -> pa.Table:
+    """SQL ``GROUP BY ROLLUP(keys...)`` for an additive aggregate: ONE
+    distributed partial-aggregate pass at the finest grouping level
+    (preagg_sum — the only pass over the data), then every coarser level
+    re-aggregates the already-small finest-level table in arrow on the
+    driver. Exact because sums re-aggregate losslessly; rolled-up key
+    columns are NULL exactly as SQL emits them (pass integer value
+    columns where hash-exactness matters, per module convention).
+    Output: pa.Table with len(keys)+1 grouping levels unioned."""
+    import pyarrow.compute as pc
+
+    fine_ds = preagg_sum(ds, keys, [sum_col])
+    parts = [
+        t
+        for t in fine_ds.iter_batches(batch_format="pyarrow")
+        if t.num_rows
+    ]
+    if not parts:
+        sch = getattr(ds.schema(), "base_schema", None)
+        cols = {k: pa.array([], sch.field(k).type) for k in keys}
+        cols[alias] = pa.array([], sch.field(sum_col).type)
+        return pa.table(cols)
+    fine = (
+        pa.concat_tables([pa.table(t) for t in parts])
+        .combine_chunks()
+        .select([*keys, sum_col])
+        .rename_columns([*keys, alias])
+    )
+    key_types = {k: fine.schema.field(k).type for k in keys}
+    levels = [fine]
+    for depth in range(len(keys) - 1, -1, -1):
+        kept = keys[:depth]
+        if kept:
+            g = fine.group_by(kept).aggregate([(alias, "sum")])
+            sums = g.column(f"{alias}_sum").cast(fine.schema.field(alias).type)
+            cols = {k: g.column(k) for k in kept}
+        else:
+            total = pc.sum(fine.column(alias))
+            sums = pa.array([total.as_py()], fine.schema.field(alias).type)
+            cols = {}
+        n = len(sums)
+        for k in keys[depth:]:
+            cols[k] = pa.nulls(n, key_types[k])
+        cols[alias] = sums
+        levels.append(pa.table({c: cols[c] for c in [*keys, alias]}))
+    return pa.concat_tables(levels).combine_chunks()

@@ -329,3 +329,67 @@ def test_grouped_ntile_tile_rule(ray_session):
         .sort_values("id")
     )
     assert out["tile"].tolist() == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+
+
+def test_grouped_rank_window_contract(ray_session):
+    from spider_ray.pipelines.events import grouped_rank
+
+    # group 'a': values 5,5,3 → rank 1,1,3; dense 1,1,2; row_num tie-broken by id
+    df = pd.DataFrame(
+        {
+            "g": ["a", "a", "a", "b", "b"],
+            "v": [5, 5, 3, 7, 7],
+            "i": [2, 1, 3, 10, 11],
+        }
+    )
+    out = (
+        grouped_rank(ray.data.from_pandas(df), "g", "v", "i", ascending=False)
+        .to_pandas()
+        .sort_values(["g", "row_num"])
+        .reset_index(drop=True)
+    )
+    a = out[out["g"] == "a"]
+    assert list(a["i"]) == [1, 2, 3]          # ties broken by id ascending
+    assert list(a["rnk"]) == [1, 1, 3]        # SQL RANK gaps
+    assert list(a["dense_rnk"]) == [1, 1, 2]  # SQL DENSE_RANK no gaps
+    assert list(a["row_num"]) == [1, 2, 3]
+    b = out[out["g"] == "b"]
+    assert list(b["rnk"]) == [1, 1] and list(b["row_num"]) == [1, 2]
+
+
+def test_full_outer_bucketed_join(ray_session):
+    from spider_ray.pipelines.relational import bucketed_hash_join
+
+    left = ray.data.from_pandas(pd.DataFrame({"k": [1, 2], "l": [10, 20]}))
+    right = ray.data.from_pandas(pd.DataFrame({"k": [2, 3], "r": [200, 300]}))
+    out = (
+        bucketed_hash_join(left, right, on="k", left_cols=["l"],
+                           right_cols=["r"], how="outer")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(out["k"]) == [1, 2, 3]
+    assert out["l"].tolist()[:2] == [10, 20] and pd.isna(out["l"][2])
+    assert pd.isna(out["r"][0]) and out["r"].tolist()[1:] == [200, 300]
+
+
+def test_rollup_sum_levels(ray_session):
+    import pyarrow as pa
+
+    from spider_ray.pipelines.relational import rollup_sum
+
+    df = pd.DataFrame(
+        {
+            "a": ["x", "x", "y"],
+            "b": ["p", "q", "p"],
+            "v": [1, 2, 4],
+        }
+    )
+    out = rollup_sum(ray.data.from_pandas(df), ["a", "b"], "v", "s").to_pylist()
+    got = {(r["a"], r["b"]): r["s"] for r in out}
+    assert got == {
+        ("x", "p"): 1, ("x", "q"): 2, ("y", "p"): 4,   # finest
+        ("x", None): 3, ("y", None): 4,                  # level a
+        (None, None): 7,                                  # grand total
+    }
