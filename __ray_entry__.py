@@ -1198,6 +1198,37 @@ ORDER BY l_returnflag, l_linestatus, sum_qty_c
 """
 
 
+def _q_pack_sequences(sf_dir: str) -> pa.Table:
+    """Sequence packing (pipelines.curation.pack_documents): documents in
+    doc_id order laid head-to-tail into 512-token context windows; each
+    doc gets the pack its first token lands in. Exercises the
+    distributed-scan operator (events.global_running_sum — per-range
+    totals prefix-summed on the driver, one range exchange for rows)."""
+    _ctx()
+    from spider_ray.pipelines.curation import pack_documents
+
+    ds = pack_documents(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        id_col="doc_id", seq_len=512,
+    )
+    return (
+        _collect(ds).select(["doc_id", "n_tokens", "pack_id"]).sort_by("doc_id")
+    )
+
+
+_SQL_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id,
+    len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+  ((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)
+   // 512)::BIGINT AS pack_id
+FROM t ORDER BY doc_id
+"""
+
+
 def _q_repetition_signals(sf_dir: str) -> pa.Table:
     """Gopher-style repetition quality counts per document
     (pipelines.curation.repetition_signals — map-only). All-integer
@@ -3576,6 +3607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_rank": _q_events_user_rank,
         "full_outer_counts": _q_full_outer_counts,
         "rollup_lineitem": _q_rollup_lineitem,
+        "pack_sequences": _q_pack_sequences,
         "image_training_table": _q_image_training_table,
         "ivf_topk": _q_ivf_topk,
         "approx_value_quantiles": _q_approx_value_quantiles,
@@ -3666,6 +3698,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_rank": _SQL_EVENTS_USER_RANK,
         "full_outer_counts": _SQL_FULL_OUTER_COUNTS,
         "rollup_lineitem": _SQL_ROLLUP_LINEITEM,
+        "pack_sequences": _SQL_PACK_SEQUENCES,
         # ivf_topk (partial probe) / approx_value_quantiles /
         # kmeans_embeddings / image_training_table stay rows-only
         # (approximate / sketch / iterative-float / crawl-composition).

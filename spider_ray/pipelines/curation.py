@@ -164,3 +164,48 @@ PII_PATTERNS = {
     "phone_n": r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
     "ssn_shaped_n": r"\b\d{3}-\d{2}-\d{4}\b",
 }
+
+
+def pack_documents(ds, id_col: str = "doc_id", seq_len: int = 512,
+                   text_col: str = "text"):
+    """Sequence packing for training-data assembly: documents ordered by
+    ``id_col`` are laid head-to-tail into fixed-length token windows;
+    each document is assigned the pack (context window) its FIRST token
+    lands in — ``pack_id = tokens_before // seq_len`` where
+    ``tokens_before`` is the global exclusive running token total.
+
+    The global running total is the distributed-scan operator
+    (pipelines.events.global_running_sum): per-range totals prefix-sum on
+    the driver (O(ranges) scalars), rows take ONE range exchange. Token
+    counts use ``functions.text.token_count`` (= DuckDB
+    ``len(regexp_split_to_array(trim(text), '\\s+'))``).
+
+    Output: (id, n_tokens, pack_id) — int64, SQL-oracle-exact."""
+    from ..functions.text import token_count
+    from .events import global_running_sum
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        n = [token_count(t or "") for t in batch.column(text_col).to_pylist()]
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_tokens": pa.array(n, pa.int64()),
+            }
+        )
+
+    counted = ds.map_batches(tokens, batch_format="pyarrow")
+    scanned = global_running_sum(counted, order_col=id_col,
+                                 value_col="n_tokens", out_col="cum")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cum = batch.column("cum").to_numpy(zero_copy_only=False)
+        nt = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_tokens": batch.column("n_tokens"),
+                "pack_id": pa.array((cum - nt) // seq_len, pa.int64()),
+            }
+        )
+
+    return scanned.map_batches(assign, batch_format="pyarrow")

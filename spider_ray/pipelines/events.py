@@ -529,3 +529,88 @@ def grouped_rank(
         return g
 
     return bucketed_by_key(ds, group_col, per_bucket)
+
+
+def global_running_sum(
+    ds,
+    order_col: str,
+    value_col: str,
+    n_ranges: int = 64,
+    out_col: str = "cum",
+):
+    """GLOBAL cumulative sum — SUM(value) OVER (ORDER BY order_col ROWS
+    UNBOUNDED PRECEDING) — as a distributed SCAN, the one window shape
+    that has no partition key to hash on:
+
+    1. a map-only pass finds the order-key bounds and per-RANGE totals
+       (range = contiguous ``order_col`` span, ONE small row per range
+       per batch — never row data);
+    2. the driver exclusive-prefix-sums the ``n_ranges`` totals (O(ranges)
+       scalars) and broadcasts the offsets;
+    3. one range exchange co-locates each span, which sorts locally,
+       cumsums vectorized, and adds its span offset.
+
+    Exact for integer values (quantize floats first, as running_total
+    does). ``order_col`` must be unique — with duplicate keys a running
+    sum is not well-defined (SQL has the same caveat for ROWS frames).
+    Output: input columns + ``out_col`` (inclusive running sum)."""
+    import pyarrow.compute as pc
+
+    bounds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "lo": pa.array([pc.min(t.column(order_col)).as_py()], pa.int64()),
+                "hi": pa.array([pc.max(t.column(order_col)).as_py()], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    bt = pa.concat_tables(
+        [pa.table(b) for b in bounds.iter_batches(batch_format="pyarrow")]
+    )
+    if bt.num_rows == 0:
+        return ds
+    lo = pc.min(bt.column("lo")).as_py()
+    hi = pc.max(bt.column("hi")).as_py()
+    span = max(1, (hi - lo + n_ranges) // n_ranges)
+
+    def tag(t: pa.Table) -> pa.Table:
+        rid = (
+            (t.column(order_col).to_numpy(zero_copy_only=False) - lo) // span
+        ).astype(np.int32)
+        return t.append_column("__range", pa.array(rid))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("__range").aggregate([(value_col, "sum")])
+        return pa.table(
+            {
+                "__range": g.column("__range"),
+                "total": g.column(f"{value_col}_sum").cast(pa.int64()),
+            }
+        )
+
+    totals = pa.concat_tables(
+        [
+            pa.table(b)
+            for b in tagged.map_batches(partial, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        ]
+    ).to_pandas()
+    import ray
+
+    per_range = totals.groupby("__range")["total"].sum().sort_index()
+    offsets = per_range.cumsum().shift(fill_value=0).to_dict()
+    off_ref = ray.put(offsets)
+
+    def scan(group: pd.DataFrame) -> pd.DataFrame:
+        import ray
+
+        offs = ray.get(off_ref)
+        g = group.sort_values(order_col, kind="mergesort")
+        base = int(offs.get(int(g["__range"].iloc[0]), 0))
+        g[out_col] = g[value_col].to_numpy(dtype=np.int64).cumsum() + base
+        return g.drop(columns="__range")
+
+    return tagged.groupby("__range").map_groups(scan, batch_format="pandas")

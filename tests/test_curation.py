@@ -107,3 +107,36 @@ def test_regex_count_pii_patterns(ray_session):
     for i, text in enumerate(rows):
         for name, pat in PII_PATTERNS.items():
             assert got[i][name] == len(re.findall(pat, text)), (i, name)
+
+
+def test_global_running_sum_matches_serial(ray_session):
+    import numpy as np
+
+    from spider_ray.pipelines.events import global_running_sum
+
+    rng = np.random.default_rng(7)
+    ids = rng.permutation(1000).astype("int64")  # unordered input blocks
+    vals = rng.integers(1, 50, size=1000).astype("int64")
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(ids), "v": pa.array(vals)})
+    ).repartition(7)
+    out = (
+        _collect(global_running_sum(ds, "k", "v", n_ranges=5, out_col="cum"))
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    order = np.argsort(ids)
+    expect = np.cumsum(vals[order])
+    assert (out["cum"].to_numpy() == expect).all()
+    assert out["cum"].iloc[-1] == vals.sum()
+
+
+def test_pack_documents_assignment(ray_session):
+    from spider_ray.pipelines.curation import pack_documents
+
+    # 3 docs × 4 tokens, seq_len 6: starts at 0, 4, 8 → packs 0, 0, 1
+    docs = _docs(["a b c d", "e f g h", "i j k l"])
+    out = _by_id(_collect(pack_documents(docs, id_col="doc_id", seq_len=6)))
+    assert [out[i]["n_tokens"] for i in range(3)] == [4, 4, 4]
+    assert [out[i]["pack_id"] for i in range(3)] == [0, 0, 1]
