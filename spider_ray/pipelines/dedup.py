@@ -527,14 +527,40 @@ def simhash64_batch(texts: list[str]) -> np.ndarray:
 
     Vector shape: unique tokens of the batch hash once (memoized md5),
     expand to a (n_unique, 64) ±1 int8 matrix via broadcast shifts, gather
-    per occurrence and ``np.add.reduceat`` over text boundaries — no
-    per-token Python in the accumulation. Returns (len(texts),) uint64."""
+    per occurrence and cumsum-difference over text boundaries — no
+    per-token Python in the accumulation. Text runs are capped at ~256k
+    tokens per inner pass so the (64, tokens) intermediates stay tens of
+    MB: one giant allocation pays seconds of cold page faults on a
+    throttled host, while per-hash results are chunk-invariant (verified
+    in tests). Returns (len(texts),) uint64."""
     token_lists = [t.split() for t in texts]
+    cap = 1 << 18
+    total = sum(len(tl) for tl in token_lists)
+    if total <= cap or len(token_lists) == 1:
+        return _simhash64_core(token_lists)
+    # greedy split into runs of ≤ cap tokens (a single over-cap text runs
+    # alone); guaranteed progress — no slice ever equals the whole input
+    out, start, run = [], 0, 0
+    for i, tl in enumerate(token_lists):
+        if run > 0 and run + len(tl) > cap:
+            out.append(_simhash64_core(token_lists[start:i]))
+            start, run = i, 0
+        run += len(tl)
+    out.append(_simhash64_core(token_lists[start:]))
+    return np.concatenate(out)
+
+
+def _simhash64_core(token_lists: list[list[str]]) -> np.ndarray:
     lengths = np.array([len(tl) for tl in token_lists], dtype=np.int64)
     all_tokens = [tok for tl in token_lists for tok in tl]
+    texts = token_lists  # alias: only len() is used below
     if not all_tokens:
         return np.zeros(len(texts), dtype=np.uint64)
-    uniq, inverse = np.unique(np.asarray(all_tokens, dtype=object), return_inverse=True)
+    # hash-based factorize, NOT np.unique: unique() comparison-sorts the
+    # object array (Python-level compares, superlinear — measured 4.7 s
+    # for a 270k-token block vs 0.06 s here); gather order is irrelevant
+    # since each token hashes independently
+    inverse, uniq = pd.factorize(np.asarray(all_tokens, dtype=object), sort=False)
     h = _token_hashes(list(uniq))
     # (64, n_unique) ±1 int8 — bit-major layout so the running sum below
     # walks contiguous memory (axis-0 cumsum on token-major order is 5×
@@ -546,12 +572,18 @@ def simhash64_batch(texts: list[str]) -> np.ndarray:
     occ = pm[:, inverse]  # (64, total_tokens) int8 gather
     # per-text segment sums via cumsum difference (np.add.reduceat is
     # pathologically slow on 2D); int32 cumsum is exact for ±1 runs far
-    # beyond any realistic batch token count
-    cs = np.zeros((64, occ.shape[1] + 1), dtype=np.int32)
-    np.cumsum(occ, axis=1, dtype=np.int32, out=cs[:, 1:])
+    # beyond any realistic batch token count. The cumsum output MUST be
+    # contiguous — cumsum(out=view[:, 1:]) hits numpy's strided fallback
+    # (measured 4.1 s vs 0.02 s for a 64×270k block)
+    cs = occ.cumsum(axis=1, dtype=np.int32)
     ends = np.cumsum(lengths)
     starts = ends - lengths
-    acc = cs[:, ends] - cs[:, starts]  # (64, len(texts)); empty text → 0
+    acc = np.zeros((64, len(texts)), dtype=np.int32)
+    nz = lengths > 0
+    right = cs[:, ends[nz] - 1]
+    s = starts[nz]
+    left = np.where(s[None, :] > 0, cs[:, np.maximum(s - 1, 0)], 0)
+    acc[:, nz] = right - left  # empty text stays 0
     values = (
         (acc > 0).astype(np.uint64)
         * (np.uint64(1) << np.arange(64, dtype=np.uint64))[:, None]
