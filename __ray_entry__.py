@@ -1731,8 +1731,13 @@ def _q_phash_neardup(sf_dir: str) -> pa.Table:
 def _q_image_training_table(sf_dir: str) -> pa.Table:
     """The full post-crawl pipeline: the flagship crawl's images table →
     decode/validate → embed → phash near-dup dedup → training table
-    (pipelines.train_data — rows-only; composition of oracle-gated
-    stages)."""
+    (pipelines.train_data). Oracle: the crawl-closure SQL picks the
+    image set, frozen phash literals (pure functions of (seed, i) —
+    tools/gen_fixture_oracles.py) drive a brute-force hamming≤3 pair
+    join, a recursive-CTE transitive closure keeps each component's
+    lexicographic-min image_id (the drop_non_canonical rule), and
+    captions/formats come from the same closed forms the crawl_captions
+    oracle is gated on."""
     _ctx()
     from spider_ray.pipelines.train_data import image_training_table
     from spider_ray.sources.storage import EpochStore
@@ -1741,6 +1746,39 @@ def _q_image_training_table(sf_dir: str) -> pa.Table:
     out = image_training_table(ray.data.from_arrow(images))
     table = _collect(out).select(["image_id", "caption", "fmt", "phash"])
     return table.sort_by("image_id")
+
+
+_SQL_IMAGE_TRAINING_TABLE = _CLOSURE_SQL + f""",
+lit(idx, phash) AS (VALUES
+  {_FIXTURE_SQL.LIT_CRAWL_IMAGE_PHASH}),
+imgs AS (
+  SELECT 'http://h' || (c.id % {CRAWL_HOSTS}) || '.test/img/' || c.id ||
+         (CASE WHEN c.id % 2 = 0 THEN '.png' ELSE '.jpg' END) AS image_id,
+         'caption for image ' || c.id || ' on host ' || (c.id % {CRAWL_HOSTS}) AS caption,
+         (CASE WHEN c.id % 2 = 0 THEN 'png' ELSE 'jpeg' END) AS fmt,
+         l.phash
+  FROM closure c JOIN lit l ON l.idx = c.id
+  WHERE c.id % {CRAWL_IMG_EVERY} = 0
+),
+p2 AS (
+  SELECT a.image_id AS id_a, b.image_id AS id_b FROM imgs a JOIN imgs b
+  ON a.image_id < b.image_id AND bit_count(xor(a.phash, b.phash)) <= 3
+),
+edges2 AS (
+  SELECT id_a AS a, id_b AS b FROM p2
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM p2
+),
+reach2(node, r) AS (
+  SELECT a, b FROM edges2
+  UNION
+  SELECT e.a, r2.r FROM edges2 e JOIN reach2 r2 ON r2.node = e.b
+),
+canon2 AS (SELECT node, least(node, min(r)) AS c FROM reach2 GROUP BY node)
+SELECT image_id, caption, fmt, phash FROM imgs
+WHERE image_id NOT IN (SELECT node FROM canon2 WHERE node <> c)
+ORDER BY image_id
+"""
 
 
 def _q_audio_features(sf_dir: str) -> pa.Table:
@@ -3699,7 +3737,10 @@ def oracle_sql() -> dict[str, str]:
         "full_outer_counts": _SQL_FULL_OUTER_COUNTS,
         "rollup_lineitem": _SQL_ROLLUP_LINEITEM,
         "pack_sequences": _SQL_PACK_SEQUENCES,
+        "image_training_table": _SQL_IMAGE_TRAINING_TABLE,
         # ivf_topk (partial probe) / approx_value_quantiles /
-        # kmeans_embeddings / image_training_table stay rows-only
-        # (approximate / sketch / iterative-float / crawl-composition).
+        # kmeans_embeddings stay rows-only (approximate by design /
+        # sketch / iterative-float; ivf's machinery is pinned by
+        # ivf_topk_exact, the quantile exact path by value_quantiles,
+        # k-means by bit-identical-across-partitionings unit tests).
     }

@@ -49,6 +49,14 @@ def main() -> None:
         for i, r in enumerate(dec)
     )
 
+    # ---- crawl-image phash literals (idx, phash) for the training-table
+    # oracle: the stored phash equals dec_phash (both are phash64 over the
+    # decoded bytes — fixtures.expected_image_row) --------------------------
+    crawl_phash_vals = ",\n  ".join(
+        f"({i * CRAWL_IMG_EVERY}, CAST({r['dec_phash']} AS BIGINT))"
+        for i, r in enumerate(dec)
+    )
+
     # ---- phash_neardup: i in range(0, min(200, docs), 5) × {png,jpeg} ----
     cfg = MockWebConfig(n_pages=200)
     ph = []
@@ -137,6 +145,11 @@ FROM lit
 WHERE idx < least(120, (SELECT count(*) FROM documents))
 ORDER BY video_id, frame_index
 """
+
+# VALUES fragment (idx, phash) for crawl images — composed into the
+# image_training_table oracle by __ray_entry__ (needs the crawl closure
+# CTE, which lives there).
+LIT_CRAWL_IMAGE_PHASH = """{crawl_phash_vals}"""
 ''')
     print(f"wrote {out}: {len(dec)} decode rows, {len(ph)} phash rows, "
           f"{len(aud)} audio rows, {len(vid)} video rows")
