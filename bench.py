@@ -34,6 +34,24 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
+def _host_probe_sec() -> float:
+    """Cold-allocation health scalar: seconds to first-touch + cumsum a
+    64 MB numpy block. ~0.1 s on a healthy host; tens of seconds during
+    hypervisor memory-throttling windows (observed round 3, where a
+    4×-larger probe exceeded 60 s). Recorded in the bench payload so
+    wall-times can be read against the host state they were measured
+    under — the same engine run spans 55–190 s crawl wall depending on
+    this number alone."""
+    import time as _t
+
+    import numpy as _np
+
+    t0 = _t.perf_counter()
+    a = _np.ones((64, 1 << 20), dtype=_np.int8)
+    a.cumsum(axis=1, dtype=_np.int32)
+    return round(_t.perf_counter() - t0, 3)
+
+
 def run_bench() -> dict:
     import pyarrow.parquet as pq
 
@@ -41,6 +59,7 @@ def run_bench() -> dict:
 
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", 32))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    host_probe = _host_probe_sec()
 
     ray.init(
         address="local",
@@ -147,6 +166,7 @@ def run_bench() -> dict:
         "pages_per_sec": round(result.pages_fetched / crawl_sec, 1),
         "dedup_checks_per_sec": round(result.dedup_checks / crawl_sec, 1),
         "epochs": result.epochs,
+        "host_probe_sec": host_probe,
     }
     ray.shutdown()
     return payload
