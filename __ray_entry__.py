@@ -1229,6 +1229,68 @@ FROM t ORDER BY doc_id
 """
 
 
+def _q_split_assign(sf_dir: str) -> pa.Table:
+    """Deterministic 90/5/5 train/val/test split by md5-bucket
+    (pipelines.curation.split_assign) — stable across runs, engines and
+    partitionings; the oracle replicates the bucket rule verbatim."""
+    _ctx()
+    from spider_ray.pipelines.curation import split_assign
+
+    ds = split_assign(
+        _read(sf_dir, "documents", columns=["doc_id"]), key_col="doc_id"
+    )
+    return _collect(ds).select(["doc_id", "split"]).sort_by("doc_id")
+
+
+_SQL_SPLIT_ASSIGN = """
+SELECT doc_id,
+  CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val' ELSE 'test' END
+    AS split
+FROM (
+  SELECT doc_id,
+    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS b
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+
+# per-source sampling rates for the mixture query — mirrored literally in
+# the SQL VALUES list below
+_MIXTURE_RATES = {
+    f"src{i}": (1.0 if i < 5 else 0.5 if i < 10 else 0.25 if i < 15 else 0.1)
+    for i in range(20)
+}
+
+
+def _q_weighted_mixture(sf_dir: str) -> pa.Table:
+    """Domain-mixing sampler (pipelines.curation.weighted_mixture): each
+    source keeps a deterministic md5-bucket fraction of its documents
+    (1.0 / 0.5 / 0.25 / 0.1 rate tiers) — the training-mixture
+    reweighting shape, map-only."""
+    _ctx()
+    from spider_ray.pipelines.curation import weighted_mixture
+
+    ds = weighted_mixture(
+        _read(sf_dir, "documents", columns=["doc_id", "source"]),
+        group_col="source", key_col="doc_id", rates=_MIXTURE_RATES,
+    )
+    return _collect(ds).select(["doc_id", "source"]).sort_by("doc_id")
+
+
+_SQL_WEIGHTED_MIXTURE = (
+    "WITH r(source, thr) AS (VALUES "
+    + ", ".join(
+        f"('{s}', {int(round(v * 10_000))})" for s, v in _MIXTURE_RATES.items()
+    )
+    + """)
+SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < r.thr
+ORDER BY d.doc_id
+"""
+)
+
+
 def _q_repetition_signals(sf_dir: str) -> pa.Table:
     """Gopher-style repetition quality counts per document
     (pipelines.curation.repetition_signals — map-only). All-integer
@@ -3646,6 +3708,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_outer_counts": _q_full_outer_counts,
         "rollup_lineitem": _q_rollup_lineitem,
         "pack_sequences": _q_pack_sequences,
+        "split_assign": _q_split_assign,
+        "weighted_mixture": _q_weighted_mixture,
         "image_training_table": _q_image_training_table,
         "ivf_topk": _q_ivf_topk,
         "approx_value_quantiles": _q_approx_value_quantiles,
@@ -3737,6 +3801,8 @@ def oracle_sql() -> dict[str, str]:
         "full_outer_counts": _SQL_FULL_OUTER_COUNTS,
         "rollup_lineitem": _SQL_ROLLUP_LINEITEM,
         "pack_sequences": _SQL_PACK_SEQUENCES,
+        "split_assign": _SQL_SPLIT_ASSIGN,
+        "weighted_mixture": _SQL_WEIGHTED_MIXTURE,
         "image_training_table": _SQL_IMAGE_TRAINING_TABLE,
         # ivf_topk (partial probe) / approx_value_quantiles /
         # kmeans_embeddings stay rows-only (approximate by design /

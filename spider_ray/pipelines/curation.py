@@ -209,3 +209,73 @@ def pack_documents(ds, id_col: str = "doc_id", seq_len: int = 512,
         )
 
     return scanned.map_batches(assign, batch_format="pyarrow")
+
+
+def _md5_bucket(values: list, resolution: int) -> list[int]:
+    """Deterministic md5-prefix bucket in [0, resolution) per key — the
+    same rule events.hash_sample_mask uses, widened to 8 hex chars so
+    fraction thresholds are granular; DuckDB replica:
+    ``('0x' || substr(md5(v::VARCHAR), 1, 8))::BIGINT % resolution``."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % resolution
+        for v in values
+    ]
+
+
+def split_assign(
+    ds,
+    key_col: str,
+    fractions: dict[str, float] | None = None,
+    resolution: int = 10_000,
+):
+    """Deterministic train/val/test (or any named-fraction) split: each
+    row's md5-bucket lands in one of the cumulative-threshold slices, so
+    the assignment is stable across runs, engines and partitionings —
+    the property a reproducible dataset release needs. Map-only."""
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    names = list(fractions)
+    cuts = []
+    acc = 0.0
+    for name in names:
+        acc += fractions[name]
+        cuts.append(int(round(acc * resolution)))
+    cuts[-1] = resolution  # absorb float residue: last slice closes the ring
+
+    def assign(batch: pa.Table) -> pa.Table:
+        b = _md5_bucket(batch.column(key_col).to_pylist(), resolution)
+        labels = []
+        for v in b:
+            for name, cut in zip(names, cuts):
+                if v < cut:
+                    labels.append(name)
+                    break
+        return batch.append_column("split", pa.array(labels, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def weighted_mixture(
+    ds,
+    group_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    resolution: int = 10_000,
+):
+    """Domain-mixing sampler: keep a row iff its md5-bucket falls below
+    its group's rate threshold — per-source sampling rates in one
+    map-only pass (the training-mixture reweighting shape: downsample
+    over-represented sources, keep the rest). Unknown groups drop.
+    Deterministic: the kept set is a pure function of (key, rates)."""
+    thresholds = {g: int(round(r * resolution)) for g, r in rates.items()}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        b = _md5_bucket(batch.column(key_col).to_pylist(), resolution)
+        groups = batch.column(group_col).to_pylist()
+        mask = [
+            v < thresholds.get(g, 0) for v, g in zip(b, groups)
+        ]
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -140,3 +140,47 @@ def test_pack_documents_assignment(ray_session):
     out = _by_id(_collect(pack_documents(docs, id_col="doc_id", seq_len=6)))
     assert [out[i]["n_tokens"] for i in range(3)] == [4, 4, 4]
     assert [out[i]["pack_id"] for i in range(3)] == [0, 0, 1]
+
+
+def test_split_assign_deterministic_and_total(ray_session):
+    from spider_ray.pipelines.curation import split_assign
+
+    docs = _docs(["text %d" % i for i in range(400)])
+    out = _collect(split_assign(docs, key_col="doc_id")).to_pandas()
+    assert len(out) == 400
+    counts = out["split"].value_counts().to_dict()
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts.get("val", 0)  # 90/5/5 shape
+    # deterministic: a second run assigns identically
+    again = _collect(split_assign(docs, key_col="doc_id")).to_pandas()
+    assert (out.sort_values("doc_id")["split"].to_numpy()
+            == again.sort_values("doc_id")["split"].to_numpy()).all()
+
+
+def test_weighted_mixture_rates(ray_session):
+    import pyarrow.compute as pc
+
+    from spider_ray.pipelines.curation import weighted_mixture
+
+    n = 600
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "source": pa.array(
+                ["keep_all", "half", "drop"][:1] * 0
+                + [("keep_all", "half", "drop")[i % 3] for i in range(n)],
+                pa.string(),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    out = _collect(
+        weighted_mixture(
+            ds, group_col="source", key_col="doc_id",
+            rates={"keep_all": 1.0, "half": 0.5},  # 'drop' absent → rate 0
+        )
+    ).to_pandas()
+    per = out["source"].value_counts().to_dict()
+    assert per.get("keep_all") == n // 3          # rate 1.0 keeps everything
+    assert "drop" not in per                       # unknown group drops
+    assert 0.3 * (n // 3) < per.get("half", 0) < 0.7 * (n // 3)
