@@ -1229,6 +1229,72 @@ FROM t ORDER BY doc_id
 """
 
 
+_PIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def _q_events_pivot(sf_dir: str) -> pa.Table:
+    """PIVOT to a per-user feature vector: one int64 count column per
+    event type (pipelines.events.pivot_counts — per-batch arrow
+    indicator-sum combiner, then a small groupby merge)."""
+    _ctx()
+    from spider_ray.pipelines.events import pivot_counts
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    out = _collect(pivot_counts(ev, "user_id", "event_type", _PIVOT_TYPES))
+    cols = {"user_id": out.column("user_id").cast(pa.int64())}
+    for v in _PIVOT_TYPES:
+        cols[f"n_{v}"] = out.column(f"n_{v}").cast(pa.int64())
+    return pa.table(cols).sort_by("user_id")
+
+
+_SQL_EVENTS_PIVOT = (
+    "SELECT user_id, "
+    + ", ".join(
+        f"sum(CASE WHEN event_type = '{v}' THEN 1 ELSE 0 END)::BIGINT AS n_{v}"
+        for v in _PIVOT_TYPES
+    )
+    + " FROM events GROUP BY user_id ORDER BY user_id"
+)
+
+
+def _q_funnel_conversion(sf_dir: str) -> pa.Table:
+    """Two-step funnel (pipelines.events.funnel_conversion): of the
+    users with a click, who purchased within one hour of their FIRST
+    click — the conversion-rate shape, one key exchange."""
+    _ctx()
+    from spider_ray.pipelines.events import funnel_conversion
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    out = _collect(
+        funnel_conversion(
+            ev, key_col="user_id", ts_col="ts", type_col="event_type",
+            first_step="click", second_step="purchase",
+            window_us=3_600_000_000,
+        )
+    )
+    return pa.table(
+        {
+            "user_id": out.column("user_id").cast(pa.int64()),
+            "converted": out.column("converted").cast(pa.int64()),
+        }
+    ).sort_by("user_id")
+
+
+_SQL_FUNNEL_CONVERSION = """
+WITH c AS (
+  SELECT user_id, min(ts) AS c_ts FROM events
+  WHERE event_type = 'click' GROUP BY user_id
+)
+SELECT c.user_id,
+  (CASE WHEN EXISTS (
+     SELECT 1 FROM events e
+     WHERE e.user_id = c.user_id AND e.event_type = 'purchase'
+       AND e.ts > c.c_ts AND e.ts <= c.c_ts + INTERVAL 1 HOUR
+   ) THEN 1 ELSE 0 END)::BIGINT AS converted
+FROM c ORDER BY c.user_id
+"""
+
+
 def _q_split_assign(sf_dir: str) -> pa.Table:
     """Deterministic 90/5/5 train/val/test split by md5-bucket
     (pipelines.curation.split_assign) — stable across runs, engines and
@@ -3708,6 +3774,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_outer_counts": _q_full_outer_counts,
         "rollup_lineitem": _q_rollup_lineitem,
         "pack_sequences": _q_pack_sequences,
+        "events_pivot": _q_events_pivot,
+        "funnel_conversion": _q_funnel_conversion,
         "split_assign": _q_split_assign,
         "weighted_mixture": _q_weighted_mixture,
         "image_training_table": _q_image_training_table,
@@ -3801,6 +3869,8 @@ def oracle_sql() -> dict[str, str]:
         "full_outer_counts": _SQL_FULL_OUTER_COUNTS,
         "rollup_lineitem": _SQL_ROLLUP_LINEITEM,
         "pack_sequences": _SQL_PACK_SEQUENCES,
+        "events_pivot": _SQL_EVENTS_PIVOT,
+        "funnel_conversion": _SQL_FUNNEL_CONVERSION,
         "split_assign": _SQL_SPLIT_ASSIGN,
         "weighted_mixture": _SQL_WEIGHTED_MIXTURE,
         "image_training_table": _SQL_IMAGE_TRAINING_TABLE,

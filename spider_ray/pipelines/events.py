@@ -614,3 +614,79 @@ def global_running_sum(
         return g.drop(columns="__range")
 
     return tagged.groupby("__range").map_groups(scan, batch_format="pandas")
+
+
+def pivot_counts(ds, key_col: str, pivot_col: str, values: list[str]):
+    """PIVOT: one row per key with an int64 count column per pivot value
+    (``n_<value>``) — the wide-table shape for per-entity feature
+    vectors. Combiner pattern: each batch emits one partial row per key
+    (arrow group_by over indicator columns, C kernels), then a small
+    ``groupby(key).sum`` merges partials — the exchange carries
+    O(keys × batches) rows, never O(events). Values outside ``values``
+    count nowhere (SQL CASE semantics)."""
+    import pyarrow.compute as pc
+
+    out_cols = [f"n_{v}" for v in values]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        piv = batch.column(pivot_col)
+        cols = {key_col: batch.column(key_col)}
+        for v, name in zip(values, out_cols):
+            cols[name] = pc.equal(piv, v).cast(pa.int64())
+        t = pa.table(cols)
+        g = t.group_by([key_col]).aggregate([(c, "sum") for c in out_cols])
+        return pa.table(
+            {key_col: g.column(key_col)}
+            | {c: g.column(f"{c}_sum") for c in out_cols}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    return partials.groupby(key_col).aggregate(
+        *[Sum(c, alias_name=c) for c in out_cols]
+    )
+
+
+def funnel_conversion(
+    ds,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    first_step: str,
+    second_step: str,
+    window_us: int,
+):
+    """Two-step funnel: for every key with at least one ``first_step``
+    event, did a ``second_step`` event land strictly after its FIRST
+    first_step and within ``window_us``? One hash exchange on the key,
+    vectorized per bucket (pandas C kernels — groupby min + interval
+    merge; no per-key UDF dispatch). Output: (key, converted 0/1)."""
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        us = (
+            group[ts_col]
+            .to_numpy(dtype="datetime64[us]")
+            .astype("int64")
+        )
+        g = pd.DataFrame({key_col: group[key_col].to_numpy(), "_us": us,
+                          "_t": group[type_col].to_numpy()})
+        firsts = (
+            g[g["_t"] == first_step].groupby(key_col)["_us"].min().rename("c_us")
+        )
+        if firsts.empty:
+            return pd.DataFrame({key_col: [], "converted": []}).astype(
+                {key_col: g[key_col].dtype, "converted": "int64"}
+            )
+        seconds = g[g["_t"] == second_step][[key_col, "_us"]].merge(
+            firsts, left_on=key_col, right_index=True
+        )
+        hit = seconds[
+            (seconds["_us"] > seconds["c_us"])
+            & (seconds["_us"] <= seconds["c_us"] + window_us)
+        ][key_col].unique()
+        out = firsts.reset_index()[[key_col]]
+        out["converted"] = out[key_col].isin(hit).astype("int64")
+        return out
+
+    return bucketed_by_key(ds, key_col, per_bucket)

@@ -393,3 +393,52 @@ def test_rollup_sum_levels(ray_session):
         ("x", None): 3, ("y", None): 4,                  # level a
         (None, None): 7,                                  # grand total
     }
+
+
+def test_pivot_counts_case_semantics(ray_session):
+    from spider_ray.pipelines.events import pivot_counts
+
+    df = pd.DataFrame(
+        {
+            "u": [1, 1, 1, 2, 2, 3],
+            "t": ["a", "a", "b", "b", "zzz", "a"],  # zzz outside values
+        }
+    )
+    out = (
+        pivot_counts(ray.data.from_pandas(df), "u", "t", ["a", "b"])
+        .to_pandas()
+        .sort_values("u")
+        .reset_index(drop=True)
+    )
+    assert out["n_a"].tolist() == [2, 0, 1]
+    assert out["n_b"].tolist() == [1, 1, 0]  # u=2's zzz counts nowhere
+
+
+def test_funnel_conversion_window(ray_session):
+    from spider_ray.pipelines.events import funnel_conversion
+
+    base = pd.Timestamp("2026-01-01")
+    h = pd.Timedelta(hours=1)
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 2, 3, 4],
+            "ts": [
+                base, base + h * 0.5,        # u1: purchase 30 min after click → converted
+                base, base + h * 2,          # u2: purchase 2 h after click → not
+                base,                        # u3: click only → not
+                base,                        # u4: purchase only → excluded (no click)
+            ],
+            "event_type": ["click", "purchase", "click", "purchase", "click", "purchase"],
+        }
+    )
+    out = (
+        funnel_conversion(
+            ray.data.from_pandas(df), "user_id", "ts", "event_type",
+            "click", "purchase", window_us=3_600_000_000,
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert out["user_id"].tolist() == [1, 2, 3]
+    assert out["converted"].tolist() == [1, 0, 0]
