@@ -1257,6 +1257,34 @@ _SQL_EVENTS_PIVOT = (
 )
 
 
+def _q_value_moments(sf_dir: str) -> pa.Table:
+    """Per-type count/sum/sum-of-squares over events.value on the cent
+    grid (pipelines.events.grouped_moments) — variance/stddev are one
+    exact rational away; integer partials keep the driver hash exact."""
+    _ctx()
+    from spider_ray.pipelines.events import grouped_moments
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+    out = _collect(grouped_moments(ev, "event_type", "value", scale=100))
+    return pa.table(
+        {
+            "event_type": out.column("event_type"),
+            "n": out.column("n").cast(pa.int64()),
+            "sum_q": out.column("sum_q").cast(pa.int64()),
+            "sumsq_q": out.column("sumsq_q").cast(pa.int64()),
+        }
+    ).sort_by("event_type")
+
+
+_SQL_VALUE_MOMENTS = """
+SELECT event_type, count(*)::BIGINT AS n,
+  sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))::BIGINT AS sum_q,
+  sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+      * CAST(floor(value * 100.0 + 0.5) AS BIGINT))::BIGINT AS sumsq_q
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def _q_funnel_conversion(sf_dir: str) -> pa.Table:
     """Two-step funnel (pipelines.events.funnel_conversion): of the
     users with a click, who purchased within one hour of their FIRST
@@ -3776,6 +3804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "events_pivot": _q_events_pivot,
         "funnel_conversion": _q_funnel_conversion,
+        "value_moments": _q_value_moments,
         "split_assign": _q_split_assign,
         "weighted_mixture": _q_weighted_mixture,
         "image_training_table": _q_image_training_table,
@@ -3871,6 +3900,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _SQL_PACK_SEQUENCES,
         "events_pivot": _SQL_EVENTS_PIVOT,
         "funnel_conversion": _SQL_FUNNEL_CONVERSION,
+        "value_moments": _SQL_VALUE_MOMENTS,
         "split_assign": _SQL_SPLIT_ASSIGN,
         "weighted_mixture": _SQL_WEIGHTED_MIXTURE,
         "image_training_table": _SQL_IMAGE_TRAINING_TABLE,

@@ -690,3 +690,47 @@ def funnel_conversion(
         return out
 
     return bucketed_by_key(ds, key_col, per_bucket)
+
+
+def grouped_moments(ds, group_col: str, value_col: str, scale: int = 100):
+    """Per-group count / sum / sum-of-squares on a fixed-point integer
+    grid — the mergeable-moments shape: each batch emits ONE partial row
+    per group (arrow group_by), a small groupby sums them, and mean /
+    variance / stddev are one exact rational away (the caller divides).
+    Quantizing BEFORE accumulation (floor(v·scale + 0.5)) keeps the sums
+    associative → bit-identical at any parallelism, and lets a SQL
+    oracle reproduce them exactly. Output: (group, n, sum_q, sumsq_q)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        q = np.floor(v.astype(np.float64) * scale + 0.5).astype(np.int64)
+        t = pa.table(
+            {
+                group_col: batch.column(group_col),
+                "sum_q": pa.array(q, pa.int64()),
+                "sumsq_q": pa.array(q * q, pa.int64()),
+            }
+        )
+        g = t.group_by([group_col]).aggregate(
+            [("sum_q", "sum"), ("sumsq_q", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                group_col: g.column(group_col),
+                "n": g.column("count_all"),
+                "sum_q": g.column("sum_q_sum"),
+                "sumsq_q": g.column("sumsq_q_sum"),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_q", alias_name="sum_q"),
+            Sum("sumsq_q", alias_name="sumsq_q"),
+        )
+    )

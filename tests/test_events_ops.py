@@ -442,3 +442,32 @@ def test_funnel_conversion_window(ray_session):
     )
     assert out["user_id"].tolist() == [1, 2, 3]
     assert out["converted"].tolist() == [1, 0, 0]
+
+
+def test_grouped_moments_exact_and_partition_invariant(ray_session):
+    import numpy as np
+
+    from spider_ray.pipelines.events import grouped_moments
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y"], size=500),
+            "v": rng.uniform(0, 100, size=500),
+        }
+    )
+    q = np.floor(df["v"].to_numpy() * 100 + 0.5).astype("int64")
+    expect = {
+        g: (int((df["g"] == g).sum()), int(q[df["g"] == g].sum()),
+            int((q[df["g"] == g] ** 2).sum()))
+        for g in ("x", "y")
+    }
+    for parts in (1, 7):
+        out = (
+            grouped_moments(ray.data.from_pandas(df).repartition(parts), "g", "v")
+            .to_pandas()
+            .set_index("g")
+        )
+        for g, (n, s, ss) in expect.items():
+            row = out.loc[g]
+            assert (int(row["n"]), int(row["sum_q"]), int(row["sumsq_q"])) == (n, s, ss)
