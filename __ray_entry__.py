@@ -1323,6 +1323,23 @@ FROM c ORDER BY c.user_id
 """
 
 
+def _q_normalize_text(sf_dir: str) -> pa.Table:
+    """Canonical normalization pre-pass (curation.normalize_text):
+    lowercase → collapse whitespace → trim, Arrow RE2 kernels end to
+    end; oracle is the literal DuckDB expression (same RE2 dialect)."""
+    _ctx()
+    from spider_ray.pipelines.curation import normalize_text
+
+    ds = normalize_text(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+    return _collect(ds).select(["doc_id", "norm_text"]).sort_by("doc_id")
+
+
+_SQL_NORMALIZE_TEXT = """
+SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text
+FROM documents ORDER BY doc_id
+"""
+
+
 def _q_split_assign(sf_dir: str) -> pa.Table:
     """Deterministic 90/5/5 train/val/test split by md5-bucket
     (pipelines.curation.split_assign) — stable across runs, engines and
@@ -3805,6 +3822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": _q_events_pivot,
         "funnel_conversion": _q_funnel_conversion,
         "value_moments": _q_value_moments,
+        "normalize_text": _q_normalize_text,
         "split_assign": _q_split_assign,
         "weighted_mixture": _q_weighted_mixture,
         "image_training_table": _q_image_training_table,
@@ -3901,6 +3919,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": _SQL_EVENTS_PIVOT,
         "funnel_conversion": _SQL_FUNNEL_CONVERSION,
         "value_moments": _SQL_VALUE_MOMENTS,
+        "normalize_text": _SQL_NORMALIZE_TEXT,
         "split_assign": _SQL_SPLIT_ASSIGN,
         "weighted_mixture": _SQL_WEIGHTED_MIXTURE,
         "image_training_table": _SQL_IMAGE_TRAINING_TABLE,

@@ -279,3 +279,22 @@ def weighted_mixture(
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def normalize_text(ds, text_col: str = "text", out_col: str = "norm_text"):
+    """Canonical text normalization for dedup/tokenization pre-passes:
+    lowercase → collapse whitespace runs to single spaces → trim. Fully
+    Arrow-native (utf8_lower / replace_substring_regex / trim — RE2,
+    matching DuckDB's dialect), zero Python per row, map-only."""
+
+    def norm(batch: pa.Table) -> pa.Table:
+        col = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(batch.column(text_col)),
+                pattern=r"\s+",
+                replacement=" ",
+            )
+        )
+        return batch.append_column(out_col, col)
+
+    return ds.map_batches(norm, batch_format="pyarrow")

@@ -184,3 +184,13 @@ def test_weighted_mixture_rates(ray_session):
     assert per.get("keep_all") == n // 3          # rate 1.0 keeps everything
     assert "drop" not in per                       # unknown group drops
     assert 0.3 * (n // 3) < per.get("half", 0) < 0.7 * (n // 3)
+
+
+def test_normalize_text_kernels(ray_session):
+    from spider_ray.pipelines.curation import normalize_text
+
+    docs = _docs(["  The   QUICK\tbrown\nfox  ", "", "a  b"])
+    out = _by_id(_collect(normalize_text(docs)))
+    assert out[0]["norm_text"] == "the quick brown fox"
+    assert out[1]["norm_text"] == ""
+    assert out[2]["norm_text"] == "a b"
