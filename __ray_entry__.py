@@ -1402,6 +1402,88 @@ ORDER BY d.doc_id
 )
 
 
+def _q_cube_lineitem(sf_dir: str) -> pa.Table:
+    """GROUP BY CUBE(l_returnflag, l_linestatus) — all four grouping
+    sets from the same single distributed finest-level pass
+    (relational.rollup_sum grouping="cube")."""
+    _ctx()
+    from spider_ray.pipelines.relational import rollup_sum
+
+    li = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        q = np.floor(
+            t.column("l_quantity").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty_c": pa.array(q, pa.int64()),
+            }
+        )
+
+    out = rollup_sum(
+        li.map_batches(cents, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"], "qty_c", "sum_qty_c",
+        grouping="cube",
+    )
+    return out.sort_by(
+        [
+            ("l_returnflag", "ascending"),
+            ("l_linestatus", "ascending"),
+            ("sum_qty_c", "ascending"),
+        ]
+    )
+
+
+_SQL_CUBE_LINEITEM = """
+SELECT l_returnflag, l_linestatus,
+  sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))::BIGINT AS sum_qty_c
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus, sum_qty_c
+"""
+
+
+def _q_click_no_purchase(sf_dir: str) -> pa.Table:
+    """EXCEPT keyset: users who clicked but never made a big (> $95)
+    purchase — the anti half of relational.semi_anti_join over derived
+    key sets (the INTERSECT sibling is click_and_purchase_users)."""
+    _ctx()
+    import pyarrow.compute as pc
+
+    from spider_ray.pipelines.relational import semi_anti_join
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def _clicks(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("event_type"), "click")).select(
+            ["user_id"]
+        )
+
+    def _big_purchases(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.equal(t.column("event_type"), "purchase"),
+            pc.greater(t.column("value"), 95.0),
+        )
+        return t.filter(mask).select(["user_id"])
+
+    clicks = ev.map_batches(_clicks, batch_format="pyarrow")
+    purchases = ev.map_batches(_big_purchases, batch_format="pyarrow")
+    out = semi_anti_join(clicks, purchases, on="user_id", anti=True)
+    uniq = _collect(out).column("user_id").unique().sort()
+    return pa.table({"user_id": uniq.cast(pa.int64())})
+
+
+_SQL_CLICK_NO_PURCHASE = """
+SELECT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 95.0
+ORDER BY user_id
+"""
+
+
 def _q_repetition_signals(sf_dir: str) -> pa.Table:
     """Gopher-style repetition quality counts per document
     (pipelines.curation.repetition_signals — map-only). All-integer
@@ -3711,7 +3793,15 @@ def _collect(ds) -> pa.Table:
     ]
     tables = [t for t in tables if t.num_rows]
     if not tables:
-        return ds.schema().empty_table()
+        # ds.schema() is Ray's wrapper; the pyarrow schema hangs off
+        # base_schema (a pandas-block dataset yields pandas dtypes — build
+        # the empty table through an empty frame instead)
+        sch = getattr(ds.schema(), "base_schema", None)
+        if isinstance(sch, pa.Schema):
+            return sch.empty_table()
+        return pa.Table.from_pandas(
+            pd.DataFrame(columns=ds.schema().names), preserve_index=False
+        )
     return pa.concat_tables(tables).combine_chunks()
 
 
@@ -3823,6 +3913,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_conversion": _q_funnel_conversion,
         "value_moments": _q_value_moments,
         "normalize_text": _q_normalize_text,
+        "cube_lineitem": _q_cube_lineitem,
+        "click_no_purchase": _q_click_no_purchase,
         "split_assign": _q_split_assign,
         "weighted_mixture": _q_weighted_mixture,
         "image_training_table": _q_image_training_table,
@@ -3920,6 +4012,8 @@ def oracle_sql() -> dict[str, str]:
         "funnel_conversion": _SQL_FUNNEL_CONVERSION,
         "value_moments": _SQL_VALUE_MOMENTS,
         "normalize_text": _SQL_NORMALIZE_TEXT,
+        "cube_lineitem": _SQL_CUBE_LINEITEM,
+        "click_no_purchase": _SQL_CLICK_NO_PURCHASE,
         "split_assign": _SQL_SPLIT_ASSIGN,
         "weighted_mixture": _SQL_WEIGHTED_MIXTURE,
         "image_training_table": _SQL_IMAGE_TRAINING_TABLE,

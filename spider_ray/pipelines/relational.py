@@ -378,15 +378,21 @@ def semi_anti_join(ds, right_ds, on: str, anti: bool = False, right_on: str | No
     return both.groupby("__bucket").map_groups(probe_bucket, batch_format="pandas")
 
 
-def rollup_sum(ds, keys: list[str], sum_col: str, alias: str) -> pa.Table:
-    """SQL ``GROUP BY ROLLUP(keys...)`` for an additive aggregate: ONE
-    distributed partial-aggregate pass at the finest grouping level
-    (preagg_sum — the only pass over the data), then every coarser level
-    re-aggregates the already-small finest-level table in arrow on the
-    driver. Exact because sums re-aggregate losslessly; rolled-up key
-    columns are NULL exactly as SQL emits them (pass integer value
-    columns where hash-exactness matters, per module convention).
-    Output: pa.Table with len(keys)+1 grouping levels unioned."""
+def rollup_sum(
+    ds, keys: list[str], sum_col: str, alias: str, grouping: str = "rollup"
+) -> pa.Table:
+    """SQL ``GROUP BY ROLLUP(keys...)`` / ``CUBE(keys...)`` for an
+    additive aggregate: ONE distributed partial-aggregate pass at the
+    finest grouping level (preagg_sum — the only pass over the data),
+    then every coarser grouping set re-aggregates the already-small
+    finest-level table in arrow on the driver. Exact because sums
+    re-aggregate losslessly; rolled-up key columns are NULL exactly as
+    SQL emits them (pass integer value columns where hash-exactness
+    matters, per module convention). ``grouping="rollup"`` unions the
+    len(keys)+1 prefix levels; ``"cube"`` unions all 2^len(keys)
+    subsets. Output: one pa.Table."""
+    import itertools
+
     import pyarrow.compute as pc
 
     fine_ds = preagg_sum(ds, keys, [sum_col])
@@ -407,9 +413,16 @@ def rollup_sum(ds, keys: list[str], sum_col: str, alias: str) -> pa.Table:
         .rename_columns([*keys, alias])
     )
     key_types = {k: fine.schema.field(k).type for k in keys}
+    if grouping == "cube":
+        subsets = [
+            list(c)
+            for r in range(len(keys) - 1, -1, -1)
+            for c in itertools.combinations(keys, r)
+        ]
+    else:
+        subsets = [keys[:depth] for depth in range(len(keys) - 1, -1, -1)]
     levels = [fine]
-    for depth in range(len(keys) - 1, -1, -1):
-        kept = keys[:depth]
+    for kept in subsets:
         if kept:
             g = fine.group_by(kept).aggregate([(alias, "sum")])
             sums = g.column(f"{alias}_sum").cast(fine.schema.field(alias).type)
@@ -419,8 +432,9 @@ def rollup_sum(ds, keys: list[str], sum_col: str, alias: str) -> pa.Table:
             sums = pa.array([total.as_py()], fine.schema.field(alias).type)
             cols = {}
         n = len(sums)
-        for k in keys[depth:]:
-            cols[k] = pa.nulls(n, key_types[k])
+        for k in keys:
+            if k not in kept:
+                cols[k] = pa.nulls(n, key_types[k])
         cols[alias] = sums
         levels.append(pa.table({c: cols[c] for c in [*keys, alias]}))
     return pa.concat_tables(levels).combine_chunks()

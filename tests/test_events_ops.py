@@ -471,3 +471,18 @@ def test_grouped_moments_exact_and_partition_invariant(ray_session):
         for g, (n, s, ss) in expect.items():
             row = out.loc[g]
             assert (int(row["n"]), int(row["sum_q"]), int(row["sumsq_q"])) == (n, s, ss)
+
+
+def test_cube_sum_all_subsets(ray_session):
+    from spider_ray.pipelines.relational import rollup_sum
+
+    df = pd.DataFrame({"a": ["x", "x", "y"], "b": ["p", "q", "p"], "v": [1, 2, 4]})
+    out = rollup_sum(ray.data.from_pandas(df), ["a", "b"], "v", "s",
+                     grouping="cube").to_pylist()
+    got = {(r["a"], r["b"]): r["s"] for r in out}
+    assert got == {
+        ("x", "p"): 1, ("x", "q"): 2, ("y", "p"): 4,   # finest
+        ("x", None): 3, ("y", None): 4,                  # by a
+        (None, "p"): 5, (None, "q"): 2,                  # by b (cube-only)
+        (None, None): 7,                                  # grand total
+    }
