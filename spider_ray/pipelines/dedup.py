@@ -569,6 +569,23 @@ def _simhash64_core(token_lists: list[list[str]]) -> np.ndarray:
         2 * ((h[None, :] >> np.arange(64, dtype=np.uint64)[:, None]) & np.uint64(1))
         - 1
     ).astype(np.int8)
+    n_texts, n_uniq = len(texts), len(uniq)
+    if n_texts * n_uniq <= 8 * len(all_tokens):
+        # small-vocab fast path: per-(text, token) COUNT matrix × ±1 sign
+        # matrix — exact integer matmul, and the intermediates are
+        # O(texts·vocab) instead of O(64·tokens): ~5 MB vs ~90 MB for a
+        # 270k-token block, which matters doubly when first-touch pages
+        # are expensive (throttled-host windows)
+        seg = np.repeat(np.arange(n_texts, dtype=np.int64), lengths)
+        counts = np.bincount(
+            seg * n_uniq + inverse, minlength=n_texts * n_uniq
+        ).reshape(n_texts, n_uniq)
+        acc = pm.astype(np.int64) @ counts.T  # (64, n_texts), exact
+        values = (
+            (acc > 0).astype(np.uint64)
+            * (np.uint64(1) << np.arange(64, dtype=np.uint64))[:, None]
+        ).sum(axis=0, dtype=np.uint64)
+        return values
     occ = pm[:, inverse]  # (64, total_tokens) int8 gather
     # per-text segment sums via cumsum difference (np.add.reduceat is
     # pathologically slow on 2D); int32 cumsum is exact for ±1 runs far
