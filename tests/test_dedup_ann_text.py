@@ -486,3 +486,28 @@ def test_nonsingleton_pairs_invariant_to_input_blocking(ray_session):
             ds, ["band_id", "band_val"], pairs_of, schema
         ).to_pandas()
         assert set(zip(got["id_a"], got["id_b"])) == want, nblocks
+
+
+def test_simhash_paths_bit_identical():
+    """The small-vocab count-matmul path and the gather/cumsum path must
+    produce identical hashes; single-text calls always take the matmul
+    path, a high-vocab batch takes the gather path."""
+    import numpy as np
+
+    from spider_ray.pipelines.dedup import simhash64_batch
+
+    rng = np.random.default_rng(11)
+    synth = [
+        " ".join(f"w{rng.integers(0, 50_000)}" for _ in range(60))
+        for _ in range(200)
+    ]
+    via_batch = simhash64_batch(synth)  # vocab≈12k vs 12k tokens → gather path
+    singles = np.array(
+        [simhash64_batch([s])[0] for s in synth], dtype=np.uint64
+    )  # 60-token texts → matmul path
+    assert (via_batch == singles).all()
+    # chunk invariance across the greedy splitter
+    thirds = np.concatenate(
+        [simhash64_batch(synth[i : i + 67]) for i in range(0, len(synth), 67)]
+    )
+    assert (via_batch == thirds).all()
