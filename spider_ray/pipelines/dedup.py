@@ -987,3 +987,170 @@ def dedup_against_reference(
         return batch.filter(pa.array(~mask))
 
     return ds.map_batches(keep_new_sharded, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-window (substring) detection — Lee et al., "Deduplicating
+# Training Data Makes Language Models Better" (ACL 2022): a document is
+# dup-contaminated to the extent its k-token windows re-occur elsewhere in
+# the corpus. Reference scope note: the reference engine has no substring
+# dedup; this is part of the training-data operator family the engine adds.
+# ---------------------------------------------------------------------------
+
+_WINDOW_POLY = np.uint64(0x100000001B3)  # FNV-1a prime; odd => full-period
+
+
+def window_hash_rows(
+    batch: pa.Table,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> pa.Table:
+    """Per-doc DISTINCT rolling k-token window hashes → (doc_id, wh) rows.
+
+    Window hash = degree-(k-1) polynomial over the per-token md5 hashes in
+    uint64 wraparound arithmetic — computed with k-1 vectorized
+    multiply-adds over shifted views, no per-position Python work. Two
+    windows are equal iff their token sequences are equal (mod 2^-64
+    collision odds), so corpus-level window equality can be tested by a
+    plain groupby on ``wh``. Within-doc repeats are dropped HERE (np.unique
+    per doc) so a downstream group size equals the distinct-document count.
+    """
+    ids = batch.column(id_col).to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    out_id: list[int] = []
+    out_wh: list[np.ndarray] = []
+    for doc_id, text in zip(ids, texts):
+        toks = text.split() if text else []
+        n = len(toks)
+        if n < k:
+            continue
+        th = _token_hashes(toks)
+        acc = th[: n - k + 1].copy()
+        for j in range(1, k):
+            acc *= _WINDOW_POLY
+            acc += th[j : j + n - k + 1]
+        uniq = np.unique(acc)
+        out_id.append(doc_id)
+        out_wh.append(uniq)
+    if not out_id:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "wh": pa.array([], pa.int64())}
+        )
+    counts = [w.size for w in out_wh]
+    return pa.table(
+        {
+            "doc_id": pa.array(np.repeat(out_id, counts), pa.int64()),
+            "wh": pa.array(
+                np.concatenate(out_wh).view(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+def _nonsingleton_rows(rows_ds, key_cols: list[str], n_buckets: int = 64):
+    """Rows whose key group has size >= 2, in ONE hash exchange (the
+    row-filter sibling of ``_nonsingleton_group_pairs``: same bucket tag,
+    same vectorized ``duplicated(keep=False)`` singleton drop, but the
+    surviving rows themselves are the output — no per-group callback)."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        key = _composite_key(batch, key_cols)
+        kh = pd.util.hash_array(
+            np.asarray(key.to_pylist(), dtype=object), categorize=False
+        ).astype(np.int64)
+        return batch.append_column(
+            "__bucket",
+            pa.array(((kh % n_buckets + n_buckets) % n_buckets).astype(np.int32)),
+        )
+
+    def bucket_dups(group: pd.DataFrame) -> pd.DataFrame:
+        return group[group.duplicated(key_cols, keep=False)].drop(
+            columns="__bucket"
+        )
+
+    return (
+        rows_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_dups, batch_format="pandas")
+    )
+
+
+def duplicate_window_stats(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+):
+    """Per-document duplicated-window statistics over the whole corpus.
+
+    Returns a Dataset[(doc_id, n_windows, n_dup_windows)] where
+    ``n_windows`` counts the doc's DISTINCT k-token windows and
+    ``n_dup_windows`` counts those that occur in >= 2 documents (or >= 2
+    times anywhere — within-doc repeats were collapsed, so group size 2
+    means two documents). Docs with < k tokens report (0, 0).
+
+    Scale shape: one map pass emits (doc_id, wh) rows; corpus-duplicated
+    windows are found by the bucketed non-singleton filter (one exchange
+    on wh, singletons dropped vectorized inside their bucket); both counts
+    are per-doc groupby aggregates; assembly is two bucketed left joins at
+    doc granularity. Nothing O(windows) or O(docs) crosses the driver.
+    """
+    from spider_ray.pipelines.relational import bucketed_hash_join
+
+    rows = ds.map_batches(
+        lambda b: window_hash_rows(b, id_col, text_col, k),
+        batch_format="pyarrow",
+    )
+
+    def _rename(col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns([id_col, col])
+
+        return fn
+
+    nwin = (
+        rows.groupby(id_col)
+        .count()
+        .map_batches(_rename("n_windows"), batch_format="pyarrow")
+    )
+    ndup = (
+        _nonsingleton_rows(rows, ["wh"])
+        .groupby(id_col)
+        .count()
+        .map_batches(_rename("n_dup_windows"), batch_format="pyarrow")
+    )
+    base = ds.map_batches(
+        lambda t: t.select([id_col]), batch_format="pyarrow"
+    )
+    joined = bucketed_hash_join(
+        base, nwin, on=id_col, left_cols=[], right_cols=["n_windows"],
+        how="left",
+    )
+    joined = bucketed_hash_join(
+        joined, ndup, on=id_col, left_cols=["n_windows"],
+        right_cols=["n_dup_windows"], how="left",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        def as_i64(col) -> pa.ChunkedArray:
+            # an all-unmatched bucket block types its right payload as
+            # null (and pandas join blocks promote int to double) —
+            # normalize both to zero-filled int64
+            if pa.types.is_null(col.type):
+                return pa.chunked_array([pa.nulls(len(col), pa.int64())])
+            return col.cast(pa.int64(), safe=False)
+
+        return pa.table(
+            {
+                id_col: t.column(id_col).cast(pa.int64()),
+                "n_windows": pc.fill_null(as_i64(t.column("n_windows")), 0),
+                "n_dup_windows": pc.fill_null(
+                    as_i64(t.column("n_dup_windows")), 0
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -511,3 +511,45 @@ def test_simhash_paths_bit_identical():
         [simhash64_batch(synth[i : i + 67]) for i in range(0, len(synth), 67)]
     )
     assert (via_batch == thirds).all()
+
+
+def test_duplicate_window_stats_edges(ray_session):
+    """Docs shorter than k report (0,0); within-doc window repeats count
+    once; a window shared by two docs is duplicated for both."""
+    import ray.data as rd
+
+    from spider_ray.pipelines.dedup import duplicate_window_stats
+
+    shared = "a b c d e f g h"           # one 8-token window
+    rows = [
+        {"doc_id": 1, "text": shared + " x y z"},       # windows incl. shared
+        {"doc_id": 2, "text": "p q " + shared},         # shares that window
+        {"doc_id": 3, "text": "too short"},             # < k tokens -> (0,0)
+        {"doc_id": 4, "text": shared + " " + shared},   # self-repeat only
+        {"doc_id": 5, "text": "u v w x y z aa bb cc"},  # unique windows
+    ]
+    out = (
+        duplicate_window_stats(rd.from_items(rows), k=8)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[3].tolist() == [0, 0]
+    # doc1: tokens=11 -> 4 windows, doc2: 10 -> 3 windows, all distinct
+    assert out.loc[1, "n_windows"] == 4 and out.loc[2, "n_windows"] == 3
+    # the shared window is duplicated for 1, 2 AND 4 (4 contains it too)
+    assert out.loc[1, "n_dup_windows"] >= 1
+    assert out.loc[2, "n_dup_windows"] >= 1
+    # doc4 = shared+shared: 17 tokens -> 10 positions, self-repeats collapse
+    assert out.loc[4, "n_windows"] < 10
+    assert out.loc[5].tolist() == [2, 0]
+
+
+def test_nonsingleton_rows_filter(ray_session):
+    import ray.data as rd
+
+    from spider_ray.pipelines.dedup import _nonsingleton_rows
+
+    rows = [{"k": i % 3, "v": i} for i in range(9)] + [{"k": 99, "v": 100}]
+    kept = _nonsingleton_rows(rd.from_items(rows), ["k"]).to_pandas()
+    assert len(kept) == 9 and 99 not in set(kept["k"])
