@@ -2032,6 +2032,77 @@ def _q_phash_neardup(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_aspect_buckets(sf_dir: str) -> pa.Table:
+    """SDXL-style aspect-ratio bucketing + fixed-size micro-batch
+    assignment (pipelines.train_data.aspect_bucket_batches): nearest
+    ladder ratio per image, per-bucket global rank via the distributed
+    scan (per-(range,bucket) offsets — O(ranges x buckets) scalars on the
+    driver), trailing partial batches marked kept=0. Input-hint dims are
+    synthesized deterministically from the orders table (unique key +
+    two quasi-independent mod-16 columns) since fixture images are
+    square by construction."""
+    _ctx()
+    import numpy as np
+
+    from spider_ray.pipelines.train_data import aspect_bucket_batches
+
+    def dims(t: pa.Table) -> pa.Table:
+        ok = t.column("o_orderkey").to_numpy()
+        ck = t.column("o_custkey").to_numpy()
+        return pa.table(
+            {
+                "image_id": pa.array(ok, pa.int64()),
+                "w": pa.array(64 * (1 + ok % 16), pa.int64()),
+                "h": pa.array(64 * (1 + ck % 16), pa.int64()),
+            }
+        )
+
+    ds = aspect_bucket_batches(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
+            dims, batch_format="pyarrow"
+        ),
+        batch_size=8,
+    )
+    return (
+        _collect(ds)
+        .select(["id", "bucket_id", "seq", "batch_idx", "kept"])
+        .sort_by("id")
+    )
+
+
+# Float parity note: w/h and |ratio - ladder| are the same IEEE-754
+# float64 operations on both sides (numpy and DuckDB DOUBLE), and the
+# tie rule (lower bucket index) is explicit in both (argmin-first /
+# ORDER BY diff, bidx) — the comparison is exact, not tolerance-based.
+_SQL_ASPECT_BUCKETS = """
+WITH dims AS (
+  SELECT o_orderkey AS id,
+         64*(1 + o_orderkey % 16) AS w,
+         64*(1 + o_custkey % 16) AS h
+  FROM orders
+),
+ladder(bidx, r) AS (
+  VALUES (0, 0.25),(1, 0.5),(2, 0.75),(3, 1.0),(4, 4.0/3.0),(5, 2.0),(6, 4.0)
+),
+assigned AS (
+  SELECT id, (
+    SELECT bidx FROM ladder ORDER BY abs(w::DOUBLE/h - r), bidx LIMIT 1
+  ) AS bucket_id
+  FROM dims
+),
+ranked AS (
+  SELECT id, bucket_id,
+         row_number() OVER (PARTITION BY bucket_id ORDER BY id) - 1 AS seq,
+         count(*) OVER (PARTITION BY bucket_id) AS n_in_bucket
+  FROM assigned
+)
+SELECT id, bucket_id::BIGINT AS bucket_id, seq::BIGINT AS seq,
+       (seq // 8)::BIGINT AS batch_idx,
+       (CASE WHEN seq // 8 < n_in_bucket // 8 THEN 1 ELSE 0 END)::BIGINT AS kept
+FROM ranked ORDER BY id
+"""
+
+
 def _q_image_training_table(sf_dir: str) -> pa.Table:
     """The full post-crawl pipeline: the flagship crawl's images table →
     decode/validate → embed → phash near-dup dedup → training table
@@ -3929,6 +4000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the in-window cube_lineitem (cube is a strict superset of the
         # rollup set list); r4 rotation picks it up
         "rollup_lineitem": _q_rollup_lineitem,
+        "aspect_buckets": _q_aspect_buckets,
         # flagship crawl family (green r1+r2; split-wave crawl re-confirmed
         # here first if the driver widens the window)
         "crawl_order": _q_crawl_order,
@@ -4065,6 +4137,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_docs": _SQL_DECONTAMINATE,
         "pattern_counts": _SQL_PATTERN_COUNTS,
         "dup_window_stats": _SQL_DUP_WINDOW_STATS,
+        "aspect_buckets": _SQL_ASPECT_BUCKETS,
         "events_user_rank": _SQL_EVENTS_USER_RANK,
         "full_outer_counts": _SQL_FULL_OUTER_COUNTS,
         "rollup_lineitem": _SQL_ROLLUP_LINEITEM,

@@ -142,3 +142,46 @@ def test_augment_stage_deterministic_and_correct(ray_session):
         ref = np.clip(ref + brightness, 0, 255).astype(np.uint8)
         got = decode_image(bytes(row["aug_bytes"]))
         assert np.array_equal(got, ref)
+
+
+def test_aspect_bucket_batches(ray_session):
+    """Nearest-ratio assignment, per-bucket rank by id, partial-batch
+    drop; empty input returns the typed empty schema."""
+    import numpy as np
+    import ray.data as rd
+
+    from spider_ray.pipelines.train_data import aspect_bucket_batches
+
+    rows = [
+        {"image_id": i, "w": w, "h": h}
+        for i, (w, h) in enumerate(
+            [(512, 512), (256, 512), (1024, 256), (512, 510), (100, 400),
+             (513, 512), (640, 480)]
+        )
+    ]
+    out = (
+        aspect_bucket_batches(rd.from_items(rows), batch_size=2)
+        .to_pandas()
+        .set_index("id")
+        .sort_index()
+    )
+    # 512/512 and 512/510 and 513/512 -> bucket 3 (1.0); 256/512 -> 0.5;
+    # 1024/256 -> 4.0; 100/400 -> 0.25; 640/480 -> 4/3
+    assert out.loc[0, "bucket_id"] == 3
+    assert out.loc[1, "bucket_id"] == 1
+    assert out.loc[2, "bucket_id"] == 6
+    assert out.loc[4, "bucket_id"] == 0
+    assert out.loc[6, "bucket_id"] == 4
+    b3 = out[out.bucket_id == 3].sort_values("seq")
+    assert b3.index.tolist() == [0, 3, 5]           # ranked by id
+    assert b3["batch_idx"].tolist() == [0, 0, 1]
+    assert b3["kept"].tolist() == [1, 1, 0]          # trailing partial dropped
+    # singleton buckets with batch_size 2 are all dropped
+    assert out.loc[1, "kept"] == 0 and out.loc[4, "kept"] == 0
+    # empty input
+    empty = aspect_bucket_batches(
+        rd.from_items(rows).filter(lambda r: False), batch_size=2
+    )
+    # (Dataset.to_pandas() drops columns at 0 rows — assert on the schema)
+    assert empty.schema().names == ["id", "bucket_id", "seq", "batch_idx", "kept"]
+    assert empty.count() == 0
