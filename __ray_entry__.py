@@ -1723,6 +1723,32 @@ def _q_minhash_pairs(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_edit_distance_pairs(sf_dir: str) -> pa.Table:
+    """Fuzzy (Levenshtein ≤ 1) name-pair join via SymSpell-style
+    deletion-neighborhood blocking: every string emits its ≤d-deletion
+    variants, bucket collisions are the complete candidate set, and an
+    exact banded DP verifies. Oracle = DuckDB brute-force
+    ``levenshtein()`` over the customer self-join, so the deletion-
+    neighborhood completeness theorem is pinned empirically each round."""
+    _ctx()
+    from spider_ray.pipelines.dedup import edit_distance_pairs
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    out = _collect(
+        edit_distance_pairs(ds, id_col="c_custkey", str_col="c_name", max_d=1)
+    )
+    return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
+_SQL_EDIT_DISTANCE_PAIRS = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       levenshtein(a.c_name, b.c_name) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY id_a, id_b
+"""
+
+
 def _sql_shingle_jaccard_pairs(threshold: float) -> str:
     """Brute-force distinct char-5-gram Jaccard pairs — the exact closed
     form of the hashed-shingle Jaccard the verify stage computes (64-bit
@@ -4049,6 +4075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk_users": _q_events_topk_users,
         "value_quantiles": _q_value_quantiles,
         "stratified_sample": _q_stratified_sample,
+        "edit_distance_pairs": _q_edit_distance_pairs,
         # no-oracle entries (rows-only driver check; pytest-covered)
         "ivf_topk": _q_ivf_topk,
         "approx_value_quantiles": _q_approx_value_quantiles,
@@ -4095,6 +4122,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_freq": _SQL_DOC_FREQ,
         "value_quantiles": _SQL_VALUE_QUANTILES,
         "stratified_sample": _SQL_STRATIFIED_SAMPLE,
+        "edit_distance_pairs": _SQL_EDIT_DISTANCE_PAIRS,
         "pagerank": _SQL_PAGERANK,
         "connected_components": _SQL_CONNECTED_COMPONENTS,
         "tfidf_topk": _SQL_TFIDF_TOPK,

