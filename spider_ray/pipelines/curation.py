@@ -216,12 +216,9 @@ def _md5_bucket(values: list, resolution: int) -> list[int]:
     same rule events.hash_sample_mask uses, widened to 8 hex chars so
     fraction thresholds are granular; DuckDB replica:
     ``('0x' || substr(md5(v::VARCHAR), 1, 8))::BIGINT % resolution``."""
-    import hashlib
+    from .events import md5_prefix_mod
 
-    return [
-        int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % resolution
-        for v in values
-    ]
+    return md5_prefix_mod(values, 4, resolution).tolist()
 
 
 def split_assign(

@@ -173,12 +173,30 @@ def distinct_values(ds, col: str) -> pa.Table:
     return pa.table({col: pa.array(values)})
 
 
+def md5_prefix_mod(values, n_bytes: int, mod: int) -> np.ndarray:
+    """md5-prefix bucket (big-endian first ``n_bytes`` of the digest,
+    mod ``mod``) per key value, hashed once per UNIQUE value and gathered
+    back — event/user keys repeat heavily per batch, so this cuts md5
+    calls by the duplication factor without changing the contract
+    (``int.from_bytes(digest[:k])`` == ``int(hexdigest[:2k], 16)``)."""
+    svals = np.asarray([str(v) for v in values], dtype=object)
+    if not len(svals):
+        return np.empty(0, dtype=np.int64)
+    uniq, inv = np.unique(svals, return_inverse=True)
+    per_uniq = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(u.encode()).digest()[:n_bytes], "big") % mod
+            for u in uniq
+        ),
+        dtype=np.int64,
+        count=len(uniq),
+    )
+    return per_uniq[inv]
+
+
 def hash_sample_mask(values, buckets: int = 16, keep_bucket: int = 0) -> list[bool]:
     """Deterministic md5-bucket membership for a list of key values."""
-    return [
-        int(hashlib.md5(str(v).encode()).hexdigest()[:2], 16) % buckets == keep_bucket
-        for v in values
-    ]
+    return (md5_prefix_mod(values, 1, buckets) == keep_bucket).tolist()
 
 
 def exact_quantiles(
