@@ -3156,6 +3156,20 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def _q_bpe_vocab(sf_dir: str) -> pa.Table:
+    """Distributed BPE vocabulary learning (pipelines.bpe): merges are
+    chosen over the aggregated unique-word frequency table with one small
+    pair-count shuffle per round; count ties break lexicographically so
+    the merge list is deterministic at any parallelism (blocking-
+    invariance pinned in tests/test_bpe.py). Iterative argmax loop →
+    not SQL-expressible → rows-only driver check."""
+    _ctx()
+    from spider_ray.pipelines.bpe import bpe_train
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    return bpe_train(docs, num_merges=32)
+
+
 def _q_kmeans_embeddings(sf_dir: str) -> pa.Table:
     """Distributed Lloyd k-means over the embeddings table
     (pipelines.kmeans): deterministic md5-order init, broadcast
@@ -4080,6 +4094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": _q_ivf_topk,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "kmeans_embeddings": _q_kmeans_embeddings,
+        "bpe_vocab": _q_bpe_vocab,
     }
 
 

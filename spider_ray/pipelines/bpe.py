@@ -1,0 +1,259 @@
+"""Distributed BPE (byte-pair-encoding) vocabulary learning + encoding.
+
+Classic Sennrich-style BPE re-expressed Ray-Data-first. The key scale
+observation: BPE never needs the corpus after the first pass — it
+operates on the aggregated UNIQUE-WORD frequency table (O(vocab) rows,
+~10^7-10^8 at 100 TB, vs O(corpus) occurrences), exactly like the
+doc_frequency combiner. Each merge round is one partial-pair-count
+combiner (`map_batches` Counter → one row per distinct pair per block)
+followed by a small `groupby(pair).sum` shuffle and a per-block top-1 +
+tiny driver reduce — the same broadcast-model / integer-partial-sum loop
+shape as pipelines/kmeans.py. Encoding broadcasts the learned merge
+ranks once (`ray.put`) and memoizes per unique word inside each batch.
+
+Reference scope note: the reference engine (happyvertical/spider) has no
+tokenizer training; this extends the training-data operator family the
+same way dedup/ANN do.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_WORD_RE = re.compile(r"[a-z0-9]+")
+
+_EOW = "</w>"
+
+_MERGES_SCHEMA = pa.schema(
+    [
+        ("rank", pa.int64()),
+        ("a", pa.string()),
+        ("b", pa.string()),
+        ("cnt", pa.int64()),
+    ]
+)
+
+
+def _word_symbols(word: str) -> list[str]:
+    """Initial symbol sequence: one symbol per char + end-of-word mark."""
+    return list(word) + [_EOW]
+
+
+def _apply_merge(sym: list[str], a: str, b: str, ab: str) -> list[str]:
+    """Left-to-right non-overlapping replacement of adjacent (a, b)."""
+    out: list[str] = []
+    i, n = 0, len(sym)
+    while i < n:
+        if i < n - 1 and sym[i] == a and sym[i + 1] == b:
+            out.append(ab)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return out
+
+
+def word_frequency_table(ds, text_col: str = "text"):
+    """(word, n) over the corpus — combiner-then-small-shuffle, one row
+    per distinct word per block crosses the exchange."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            if t:
+                c.update(_WORD_RE.findall(t.lower()))
+        words = sorted(c)
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "n": pa.array([c[w] for w in words], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby("word").sum("n")
+
+
+def _pair_partial(batch: pa.Table) -> pa.Table:
+    """Per-block partial pair counts over the symbolized word table."""
+    c: Counter = Counter()
+    ns = batch.column("n").to_pylist()
+    for sym, n in zip(batch.column("sym").to_pylist(), ns):
+        for i in range(len(sym) - 1):
+            c[(sym[i], sym[i + 1])] += n
+    keys = sorted(c)
+    return pa.table(
+        {
+            "a": pa.array([k[0] for k in keys], pa.string()),
+            "b": pa.array([k[1] for k in keys], pa.string()),
+            "cnt": pa.array([c[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+def _block_top1(batch: pa.Table) -> pa.Table:
+    """Per-block best pair (cnt desc, then lexicographic a, b) — shrinks
+    the driver reduce to one row per block."""
+    if batch.num_rows == 0:
+        return batch
+    df = batch.to_pandas()
+    df = df.sort_values(
+        ["sum(cnt)", "a", "b"], ascending=[False, True, True], kind="mergesort"
+    )
+    return pa.Table.from_pandas(df.head(1), preserve_index=False)
+
+
+def bpe_train(
+    ds,
+    text_col: str = "text",
+    num_merges: int = 64,
+    min_freq: int = 2,
+) -> pa.Table:
+    """Learn ``num_merges`` BPE merges; returns (rank, a, b, cnt).
+
+    Deterministic: ties on count break lexicographically on (a, b). One
+    small shuffle per round over the pair-partial table; the word table
+    stays distributed and is re-materialized per round (kmeans-style
+    bounded lineage). Stops early when the best pair's count drops below
+    ``min_freq``.
+    """
+    import ray
+
+    words = word_frequency_table(ds, text_col)
+
+    def symbolize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "sym": pa.array(
+                    [
+                        _word_symbols(w)
+                        for w in batch.column("word").to_pylist()
+                    ],
+                    pa.list_(pa.string()),
+                ),
+                "n": batch.column("sum(n)").cast(pa.int64()),
+            }
+        )
+
+    word_ds = words.map_batches(symbolize, batch_format="pyarrow").materialize()
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        partials = word_ds.map_batches(_pair_partial, batch_format="pyarrow")
+        pair_counts = partials.groupby(["a", "b"]).sum("cnt")
+        top_blocks = pair_counts.map_batches(
+            _block_top1, batch_format="pyarrow"
+        ).to_pandas()
+        if top_blocks.empty:
+            break
+        top_blocks = top_blocks.sort_values(
+            ["sum(cnt)", "a", "b"], ascending=[False, True, True],
+            kind="mergesort",
+        )
+        a, b, cnt = (
+            top_blocks.iloc[0]["a"],
+            top_blocks.iloc[0]["b"],
+            int(top_blocks.iloc[0]["sum(cnt)"]),
+        )
+        if cnt < min_freq:
+            break
+        merges.append((rank, a, b, cnt))
+        ab = a + b
+
+        def apply(batch: pa.Table, a=a, b=b, ab=ab) -> pa.Table:
+            return pa.table(
+                {
+                    "sym": pa.array(
+                        [
+                            _apply_merge(s, a, b, ab)
+                            for s in batch.column("sym").to_pylist()
+                        ],
+                        pa.list_(pa.string()),
+                    ),
+                    "n": batch.column("n"),
+                }
+            )
+
+        word_ds = word_ds.map_batches(apply, batch_format="pyarrow").materialize()
+
+    if not merges:
+        return _MERGES_SCHEMA.empty_table()
+    return pa.table(
+        {
+            "rank": pa.array([m[0] for m in merges], pa.int64()),
+            "a": pa.array([m[1] for m in merges], pa.string()),
+            "b": pa.array([m[2] for m in merges], pa.string()),
+            "cnt": pa.array([m[3] for m in merges], pa.int64()),
+        }
+    )
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy lowest-rank-first BPE segmentation of one word."""
+    sym = _word_symbols(word)
+    while len(sym) > 1:
+        best_rank, best_pair = None, None
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (sym[i], sym[i + 1])
+        if best_pair is None:
+            break
+        sym = _apply_merge(sym, best_pair[0], best_pair[1], "".join(best_pair))
+    return sym
+
+
+def bpe_encode(
+    ds,
+    merges: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-document BPE token count + distinct-piece count under the
+    learned merges. The merge-rank dict is shipped once via ``ray.put``
+    and read zero-copy in every task; per-batch encoding memoizes on
+    unique words (batch word duplication factor is high in real text).
+    Output: (id, bpe_tokens, distinct_pieces)."""
+    import ray
+
+    ranks = {
+        (a, b): r
+        for r, a, b in zip(
+            merges.column("rank").to_pylist(),
+            merges.column("a").to_pylist(),
+            merges.column("b").to_pylist(),
+        )
+    }
+    ranks_ref = ray.put(ranks)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        rk = ray.get(ranks_ref)
+        memo: dict[str, list[str]] = {}
+        n_tokens: list[int] = []
+        n_pieces: list[int] = []
+        for t in batch.column(text_col).to_pylist():
+            words = _WORD_RE.findall(t.lower()) if t else []
+            total = 0
+            pieces: set[str] = set()
+            for w in words:
+                enc = memo.get(w)
+                if enc is None:
+                    enc = encode_word(w, rk)
+                    memo[w] = enc
+                total += len(enc)
+                pieces.update(enc)
+            n_tokens.append(total)
+            n_pieces.append(len(pieces))
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "bpe_tokens": pa.array(n_tokens, pa.int64()),
+                "distinct_pieces": pa.array(n_pieces, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")

@@ -1,0 +1,140 @@
+"""BPE vocabulary learning vs an independent single-process reference."""
+
+import re
+from collections import Counter
+
+import pandas as pd
+import pytest
+
+import ray
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ref_bpe(texts, num_merges, min_freq=2):
+    """Naive Sennrich-style reference: dict-of-tuples corpus, full pair
+    recount every round, same tie-break (count desc, then (a, b) asc)."""
+    wc: Counter = Counter()
+    for t in texts:
+        wc.update(re.findall(r"[a-z0-9]+", (t or "").lower()))
+    vocab = {tuple(list(w) + ["</w>"]): n for w, n in wc.items()}
+    merges = []
+    for rank in range(num_merges):
+        pairs: Counter = Counter()
+        for sym, n in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        if cnt < min_freq:
+            break
+        merges.append((rank, a, b, cnt))
+        new_vocab = {}
+        for sym, n in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_reference(ray_session):
+    from spider_ray.pipelines.bpe import bpe_train
+
+    texts = (
+        pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])["text"]
+        .head(40)
+        .tolist()
+    )
+    ds = ray.data.from_pandas(pd.DataFrame({"text": texts}))
+    got = bpe_train(ds, num_merges=24).to_pylist()
+    expected = _ref_bpe(texts, 24)
+    assert [(m["rank"], m["a"], m["b"], m["cnt"]) for m in got] == expected
+
+
+def test_bpe_train_blocking_invariant(ray_session):
+    """Same merges regardless of input block layout."""
+    from spider_ray.pipelines.bpe import bpe_train
+
+    texts = ["the cat sat on the mat", "the cats sat", "a mat that sat"] * 5
+    one = ray.data.from_pandas(pd.DataFrame({"text": texts}))
+    many = ray.data.from_pandas(
+        [pd.DataFrame({"text": [t]}) for t in texts]
+    )
+    assert (
+        bpe_train(one, num_merges=12).to_pylist()
+        == bpe_train(many, num_merges=12).to_pylist()
+    )
+
+
+def test_bpe_encode_roundtrip(ray_session):
+    """Encoding with the learned merges: greedy segmentation reconstructs
+    each word, and fully-merged training words collapse to one piece."""
+    from spider_ray.pipelines.bpe import bpe_train, encode_word
+
+    texts = ["low lower lowest", "low low low newer newest"] * 4
+    ds = ray.data.from_pandas(pd.DataFrame({"text": texts}))
+    merges = bpe_train(ds, num_merges=40, min_freq=1)
+    ranks = {
+        (a, b): r
+        for r, a, b in zip(
+            merges.column("rank").to_pylist(),
+            merges.column("a").to_pylist(),
+            merges.column("b").to_pylist(),
+        )
+    }
+    for w in ["low", "lower", "newest"]:
+        enc = encode_word(w, ranks)
+        assert "".join(enc) == w + "</w>"
+    # 'low' occurs 5x/line — plenty of merges to collapse it fully
+    assert encode_word("low", ranks) == ["low</w>"]
+    # unseen word still segments (falls back to chars where no merge applies)
+    enc = encode_word("zzq", ranks)
+    assert "".join(enc) == "zzq</w>"
+
+
+def test_bpe_encode_counts(ray_session):
+    from spider_ray.pipelines.bpe import bpe_encode, bpe_train, encode_word
+
+    df = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["low lower", "newest newest low"]}
+    )
+    ds = ray.data.from_pandas(df)
+    merges = bpe_train(ds, num_merges=20, min_freq=1)
+    out = (
+        bpe_encode(ds, merges)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ranks = {
+        (a, b): r
+        for r, a, b in zip(
+            merges.column("rank").to_pylist(),
+            merges.column("a").to_pylist(),
+            merges.column("b").to_pylist(),
+        )
+    }
+    exp = []
+    for _, row in df.iterrows():
+        words = re.findall(r"[a-z0-9]+", row["text"].lower())
+        encs = [encode_word(w, ranks) for w in words]
+        exp.append(
+            (
+                row["doc_id"],
+                sum(len(e) for e in encs),
+                len({p for e in encs for p in e}),
+            )
+        )
+    got = list(
+        zip(out["doc_id"], out["bpe_tokens"], out["distinct_pieces"])
+    )
+    assert got == exp
