@@ -2693,6 +2693,54 @@ def _q_pagerank(sf_dir: str) -> pa.Table:
     return _collect(ranks.map_batches(to_ppb, batch_format="pyarrow")).sort_by("node")
 
 
+def _q_triangle_count(sf_dir: str) -> pa.Table:
+    """Exact triangle count over the fixture web's link graph (same
+    closed-form edges as the pagerank query). Degree-ordered orientation
+    + wedge generation in a bucketed exchange + semi-join closure
+    (pipelines/graph.py triangle_count) — each triangle counted once at
+    its lowest-(degree, id) vertex; the SQL oracle is the canonical
+    three-way self-join over the undirected a<b edge set."""
+    _ctx()
+    import numpy as np
+
+    from spider_ray.pipelines.graph import triangle_count
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        dst = np.stack(
+            [(2 * ids + 1) % n, (3 * ids + 7) % n, (5 * ids + 3) % n], axis=1
+        ).reshape(-1)
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    edges = docs.map_batches(to_edges, batch_format="pyarrow")
+    return pa.table({"triangles": pa.array([triangle_count(edges)], pa.int64())})
+
+
+_SQL_TRIANGLE_COUNT = """
+WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
+-- UNION ALL, not unnest: DuckDB's binder hits an internal error when the
+-- unnest CTE feeds the three-way self-join below
+raw_edges AS (
+  SELECT d.doc_id AS src, (2*d.doc_id+1) % p.n AS dst FROM documents d, n p
+  UNION ALL SELECT d.doc_id, (3*d.doc_id+7) % p.n FROM documents d, n p
+  UNION ALL SELECT d.doc_id, (5*d.doc_id+3) % p.n FROM documents d, n p
+),
+edges AS (SELECT DISTINCT src, dst FROM raw_edges),
+u AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+)
+SELECT count(*)::BIGINT AS triangles
+FROM u e1
+JOIN u e2 ON e2.a = e1.a AND e2.b > e1.b
+JOIN u e3 ON e3.a = e1.b AND e3.b = e2.b
+"""
+
+
 _SQL_PAGERANK = """
 WITH params AS (
   SELECT count(*)::BIGINT AS n,
@@ -4056,6 +4104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hour_agg": _q_events_hour_agg,
         "events_sessionize": _q_events_sessionize,
         "pagerank": _q_pagerank,
+        "triangle_count": _q_triangle_count,
         "connected_components": _q_connected_components,
         "seen_dedup_exact": _q_seen_dedup,
         "broadcast_revenue": _q_broadcast_revenue,
@@ -4139,6 +4188,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _SQL_STRATIFIED_SAMPLE,
         "edit_distance_pairs": _SQL_EDIT_DISTANCE_PAIRS,
         "pagerank": _SQL_PAGERANK,
+        "triangle_count": _SQL_TRIANGLE_COUNT,
         "connected_components": _SQL_CONNECTED_COMPONENTS,
         "tfidf_topk": _SQL_TFIDF_TOPK,
         "left_outer_join": _SQL_LEFT_OUTER_JOIN,

@@ -17,6 +17,7 @@ without it the lazy plan re-executes all prior iterations per consumer.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from .relational import bucketed_hash_join
@@ -222,3 +223,146 @@ def pagerank(
     return ranks.map_batches(
         lambda t: t.rename_columns(["node", "rank_q"]), batch_format="pyarrow"
     )
+
+
+def triangle_count(edges_ds, n_buckets: int = 64):
+    """Exact triangle count via degree-ordered edge orientation
+    ("compact-forward" / node-iterator with degree ordering).
+
+    Shape: canonicalize to undirected distinct (a < b) edges (one small
+    groupby), compute degrees (one groupby), orient every edge from its
+    lower-(degree, id) endpoint to the higher (two bucketed hash joins to
+    attach endpoint degrees), generate wedges per source node inside a
+    bucketed exchange (out-degree under this orientation is O(sqrt(E)),
+    the classic bound, so per-node pair expansion never blows up on hub
+    nodes), and close wedges with a semi join against the oriented edge
+    key set — broadcast when small, bucketed exchange otherwise
+    (relational.semi_anti_join picks). Every triangle is counted exactly
+    once at its lowest-(degree, id) vertex. Nothing is driver-resident.
+
+    Partitioning assumption: node ids in [0, 2^32) so the closing-edge
+    key packs into one int64 (checked per batch).
+    Returns the scalar triangle count.
+    """
+    from .events import bucketed_by_key
+    from .relational import semi_anti_join
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(s) and (
+            s.min() < 0 or d.min() < 0 or s.max() >= 1 << 32 or d.max() >= 1 << 32
+        ):
+            raise ValueError("triangle_count requires node ids in [0, 2^32)")
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(s, d), pa.int64()),
+                "b": pa.array(np.maximum(s, d), pa.int64()),
+            }
+        )
+
+    und = (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+        .map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+        .materialize()
+    )
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        batch.column("a").combine_chunks().cast(pa.int64()),
+                        batch.column("b").combine_chunks().cast(pa.int64()),
+                    ]
+                )
+            }
+        )
+
+    deg = (
+        und.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+        .map_batches(
+            lambda t: t.rename_columns(["node", "deg"]), batch_format="pyarrow"
+        )
+    )
+
+    deg_a = deg.map_batches(
+        lambda t: t.rename_columns(["a", "deg_a"]), batch_format="pyarrow"
+    )
+    deg_b = deg.map_batches(
+        lambda t: t.rename_columns(["b", "deg_b"]), batch_format="pyarrow"
+    )
+    j = bucketed_hash_join(
+        und, deg_a, on="a", left_cols=["b"], right_cols=["deg_a"],
+        n_buckets=n_buckets,
+    )
+    j = bucketed_hash_join(
+        j, deg_b, on="b", left_cols=["a", "deg_a"], right_cols=["deg_b"],
+        n_buckets=n_buckets,
+    )
+
+    def orient(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        da = batch.column("deg_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        db = batch.column("deg_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        a_first = (da < db) | ((da == db) & (a < b))
+        u = np.where(a_first, a, b)
+        v = np.where(a_first, b, a)
+        dv = np.where(a_first, db, da)
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "deg_v": pa.array(dv, pa.int64()),
+            }
+        )
+
+    oriented = j.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def wedges(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(["u", "deg_v", "v"], kind="mergesort")
+        u = g["u"].to_numpy()
+        v = g["v"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)]
+        keys: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            k = e - s
+            if k < 2:
+                continue
+            iu, ju = np.triu_indices(k, 1)
+            nb = v[s:e]
+            # neighbor order == orientation order (deg, id), so the pair
+            # (nb[iu], nb[ju]) matches the closing edge's (u, v) direction
+            keys.append((nb[iu] << np.int64(32)) | nb[ju])
+        pk = np.concatenate(keys) if keys else np.empty(0, np.int64)
+        # arrow out: semi_anti_join's schema probe needs arrow blocks
+        return pa.table({"pk": pa.array(pk, pa.int64())})
+
+    wedge_ds = bucketed_by_key(oriented, "u", wedges, n_buckets=n_buckets)
+
+    edge_keys = oriented.map_batches(
+        lambda t: pa.table(
+            {
+                "pk": pa.array(
+                    (
+                        t.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+                        << np.int64(32)
+                    )
+                    | t.column("v").to_numpy(zero_copy_only=False).astype(np.int64),
+                    pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    closed = semi_anti_join(wedge_ds, edge_keys, on="pk", global_dedupe=False)
+    return closed.count()

@@ -318,8 +318,13 @@ def semi_anti_join(ds, right_ds, on: str, anti: bool = False, right_on: str | No
     l_schema = getattr(ds.schema(), "base_schema", None)
     int_key = l_schema is not None and pa.types.is_integer(l_schema.field(on).type)
     if n_keys <= broadcast_key_limit or not int_key:
+        # to_arrow_refs passes EMPTY pandas blocks through unconverted
+        # (zero-column DataFrames with no .num_rows) — drop them; n_keys>0
+        # guarantees at least one real arrow block survives
         key_tbl = pa.concat_tables(
-            t for t in ray.get(uniq.to_arrow_refs()) if t.num_rows
+            t
+            for t in ray.get(uniq.to_arrow_refs())
+            if isinstance(t, pa.Table) and t.num_rows
         )
         ref = ray.put(key_tbl.column(r_on).combine_chunks())
 

@@ -194,3 +194,63 @@ def test_tfidf_topk_matches_bruteforce(ray_session):
         assert got["token"].tolist() == [w for _, w, _ in scored]
         assert got["score"].tolist() == [-s for s, _, _ in scored]
         assert got["rank"].tolist() == list(range(1, len(scored) + 1))
+
+
+def test_triangle_count_known_graphs(ray_session):
+    import pandas as pd
+
+    from spider_ray.pipelines.graph import triangle_count
+
+    def tc(edges):
+        ds = ray.data.from_pandas(
+            pd.DataFrame(
+                {"src": [e[0] for e in edges], "dst": [e[1] for e in edges]}
+            )
+        )
+        return triangle_count(ds)
+
+    # K4: C(4,3) = 4 triangles; direction/duplicates/self-loops ignored
+    k4 = [(i, j) for i in range(4) for j in range(4) if i != j]
+    assert tc(k4 + [(0, 0), (1, 1)]) == 4
+    # 5-cycle: none
+    assert tc([(i, (i + 1) % 5) for i in range(5)]) == 0
+    # two triangles sharing an edge
+    assert tc([(0, 1), (1, 2), (2, 0), (1, 3), (3, 2)]) == 2
+
+
+def test_triangle_count_matches_bruteforce(ray_session):
+    from itertools import combinations
+
+    import numpy as np
+    import pandas as pd
+
+    from spider_ray.pipelines.graph import triangle_count
+
+    rng = np.random.default_rng(7)
+    n = 40
+    src, dst = [], []
+    for i, j in combinations(range(n), 2):
+        if rng.random() < 0.15:
+            src.append(i)
+            dst.append(j)
+    adj = {(a, b) for a, b in zip(src, dst)}
+    expected = sum(
+        1
+        for a, b, c in combinations(range(n), 3)
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj
+    )
+    ds = ray.data.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
+    assert triangle_count(ds) == expected
+
+
+def test_triangle_count_rejects_wide_ids(ray_session):
+    import pandas as pd
+    import pytest as _pytest
+
+    from spider_ray.pipelines.graph import triangle_count
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"src": [1 << 33], "dst": [2]})
+    )
+    with _pytest.raises(Exception, match="2\\^32"):
+        triangle_count(ds)
