@@ -1285,6 +1285,105 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def _q_value_hour_corr(sf_dir: str) -> pa.Table:
+    """Per-type Pearson correlation between value and hour-of-day from
+    the mergeable cross-moment sufficient statistics
+    (pipelines.events.grouped_comoments): integer partial sums on the
+    cent grid are exact and associative; the driver finishes with
+    arbitrary-precision integer arithmetic and ONE double division —
+    the same expression the SQL oracle evaluates over DuckDB's HUGEINT
+    sums, so the ppm quantization is deterministic on both engines."""
+    _ctx()
+    import math
+
+    from spider_ray.pipelines.events import grouped_comoments
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value", "ts"])
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "hour", pa.array((us // 3_600_000_000) % 24, pa.int64())
+        )
+
+    out = _collect(
+        grouped_comoments(
+            ev.map_batches(add_hour, batch_format="pyarrow"),
+            "event_type", "value", "hour", x_scale=100, y_scale=1,
+        )
+    ).to_pandas()
+    rows = []
+    for _, r in out.iterrows():
+        n, sx, sy = int(r["n"]), int(r["sx_q"]), int(r["sy_q"])
+        sxx, syy, sxy = int(r["sxx_q"]), int(r["syy_q"]), int(r["sxy_q"])
+        num = n * sxy - sx * sy
+        a = n * sxx - sx * sx
+        b = n * syy - sy * sy
+        corr = float(num) / math.sqrt(float(a) * float(b)) if a and b else 0.0
+        rows.append((r["event_type"], n, int(math.floor(corr * 1e6 + 0.5))))
+    rows.sort()
+    return pa.table(
+        {
+            "event_type": pa.array([x[0] for x in rows], pa.string()),
+            "n": pa.array([x[1] for x in rows], pa.int64()),
+            "corr_ppm": pa.array([x[2] for x in rows], pa.int64()),
+        }
+    )
+
+
+_SQL_VALUE_HOUR_CORR = """
+WITH q AS (
+  SELECT event_type,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x,
+         (epoch_us(ts) // 3600000000) % 24 AS y
+  FROM events
+),
+s AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+  FROM q GROUP BY event_type
+)
+SELECT event_type, n,
+  CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0 THEN 0
+       ELSE CAST(floor(
+         (n*sxy - sx*sy)::DOUBLE
+         / sqrt((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE)
+         * 1000000.0 + 0.5) AS BIGINT)
+  END AS corr_ppm
+FROM s ORDER BY event_type
+"""
+
+
+def _q_events_percent_rank(sf_dir: str) -> pa.Table:
+    """PERCENT_RANK + CUME_DIST per event over (PARTITION BY event_type
+    ORDER BY value), ppb-quantized (pipelines.events.grouped_percent_rank)
+    — exact rationals of within-group ranks, one double division shared
+    with the SQL oracle."""
+    _ctx()
+    from spider_ray.pipelines.events import grouped_percent_rank
+
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    out = _collect(
+        grouped_percent_rank(ev, "event_type", "value", "event_id")
+    )
+    return out.select(["event_id", "event_type", "pr_ppb", "cd_ppb"]).sort_by(
+        "event_id"
+    )
+
+
+_SQL_EVENTS_PERCENT_RANK = """
+SELECT event_id, event_type,
+  CAST(floor(percent_rank() OVER w * 1e9 + 0.5) AS BIGINT) AS pr_ppb,
+  CAST(floor(cume_dist()   OVER w * 1e9 + 0.5) AS BIGINT) AS cd_ppb
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value)
+ORDER BY event_id
+"""
+
+
 def _q_funnel_conversion(sf_dir: str) -> pa.Table:
     """Two-step funnel (pipelines.events.funnel_conversion): of the
     users with a click, who purchased within one hour of their FIRST
@@ -4082,6 +4181,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": _q_split_assign,
         "weighted_mixture": _q_weighted_mixture,
         "image_training_table": _q_image_training_table,
+        # ---- below the 50-cut: r3-late additions (never driver-evaluated;
+        #      local DuckDB parity green; r4 window rotation picks them up)
+        "value_hour_corr": _q_value_hour_corr,
+        "events_percent_rank": _q_events_percent_rank,
+        "edit_distance_pairs": _q_edit_distance_pairs,
+        "triangle_count": _q_triangle_count,
         # ---- top-50 window ends here (50 entries above) -------------------
         # rollup_lineitem yields its window slot to dup_window_stats: the
         # grouping-sets machinery it exercises is identically covered by
@@ -4104,7 +4209,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hour_agg": _q_events_hour_agg,
         "events_sessionize": _q_events_sessionize,
         "pagerank": _q_pagerank,
-        "triangle_count": _q_triangle_count,
         "connected_components": _q_connected_components,
         "seen_dedup_exact": _q_seen_dedup,
         "broadcast_revenue": _q_broadcast_revenue,
@@ -4138,7 +4242,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk_users": _q_events_topk_users,
         "value_quantiles": _q_value_quantiles,
         "stratified_sample": _q_stratified_sample,
-        "edit_distance_pairs": _q_edit_distance_pairs,
         # no-oracle entries (rows-only driver check; pytest-covered)
         "ivf_topk": _q_ivf_topk,
         "approx_value_quantiles": _q_approx_value_quantiles,
@@ -4238,6 +4341,8 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": _SQL_EVENTS_PIVOT,
         "funnel_conversion": _SQL_FUNNEL_CONVERSION,
         "value_moments": _SQL_VALUE_MOMENTS,
+        "value_hour_corr": _SQL_VALUE_HOUR_CORR,
+        "events_percent_rank": _SQL_EVENTS_PERCENT_RANK,
         "normalize_text": _SQL_NORMALIZE_TEXT,
         "cube_lineitem": _SQL_CUBE_LINEITEM,
         "click_no_purchase": _SQL_CLICK_NO_PURCHASE,

@@ -752,3 +752,106 @@ def grouped_moments(ds, group_col: str, value_col: str, scale: int = 100):
             Sum("sumsq_q", alias_name="sumsq_q"),
         )
     )
+
+
+def grouped_comoments(
+    ds,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    x_scale: int = 100,
+    y_scale: int = 1,
+):
+    """Per-group cross-moments (n, Σx, Σy, Σx², Σy², Σxy) on fixed-point
+    integer grids — grouped_moments extended with the cross term, the
+    mergeable sufficient statistics for covariance / correlation /
+    least-squares slope. One partial row per (group, batch) crosses the
+    exchange; integer sums are associative → bit-identical at any
+    parallelism and exactly reproducible by a SQL oracle.
+
+    Overflow bound (caller's contract): max|x_q|·max|y_q|·rows_per_group
+    must stay under 2^63 (e.g. x ≤ 10^6 on a 10^2 grid, y ≤ 10^4, 10^6
+    rows/group → 10^18 < 9.2·10^18); widen to a per-group sharded sum
+    with a split key when a corpus exceeds it."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        xq = np.floor(x * x_scale + 0.5).astype(np.int64)
+        yq = np.floor(y * y_scale + 0.5).astype(np.int64)
+        t = pa.table(
+            {
+                group_col: batch.column(group_col),
+                "sx_q": pa.array(xq, pa.int64()),
+                "sy_q": pa.array(yq, pa.int64()),
+                "sxx_q": pa.array(xq * xq, pa.int64()),
+                "syy_q": pa.array(yq * yq, pa.int64()),
+                "sxy_q": pa.array(xq * yq, pa.int64()),
+            }
+        )
+        g = t.group_by([group_col]).aggregate(
+            [
+                ("sx_q", "sum"),
+                ("sy_q", "sum"),
+                ("sxx_q", "sum"),
+                ("syy_q", "sum"),
+                ("sxy_q", "sum"),
+                ([], "count_all"),
+            ]
+        )
+        return pa.table(
+            {
+                group_col: g.column(group_col),
+                "n": g.column("count_all"),
+                "sx_q": g.column("sx_q_sum"),
+                "sy_q": g.column("sy_q_sum"),
+                "sxx_q": g.column("sxx_q_sum"),
+                "syy_q": g.column("syy_q_sum"),
+                "sxy_q": g.column("sxy_q_sum"),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx_q", alias_name="sx_q"),
+            Sum("sy_q", alias_name="sy_q"),
+            Sum("sxx_q", alias_name="sxx_q"),
+            Sum("syy_q", alias_name="syy_q"),
+            Sum("sxy_q", alias_name="sxy_q"),
+        )
+    )
+
+
+def grouped_percent_rank(ds, group_col: str, value_col: str, id_col: str):
+    """SQL PERCENT_RANK / CUME_DIST OVER (PARTITION BY group ORDER BY
+    value), ppb-quantized for exact cross-engine comparison: both are
+    exact rationals of within-group min/max rank and group size, and the
+    single double division identical on every engine makes
+    floor(x·1e9 + 0.5) deterministic. Same bucketed-exchange shape as
+    grouped_rank. Output: (id, group, pr_ppb, cd_ppb)."""
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            [group_col, value_col, id_col], kind="mergesort"
+        )
+        grp = g.groupby(group_col, sort=False)
+        n = grp[value_col].transform("size").to_numpy(dtype=np.int64)
+        rmin = grp[value_col].rank(method="min").to_numpy(dtype=np.int64)
+        rmax = grp[value_col].rank(method="max").to_numpy(dtype=np.int64)
+        pr = np.where(n > 1, (rmin - 1) / np.maximum(n - 1, 1), 0.0)
+        cd = rmax / n
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                group_col: g[group_col].to_numpy(),
+                "pr_ppb": np.floor(pr * 1e9 + 0.5).astype(np.int64),
+                "cd_ppb": np.floor(cd * 1e9 + 0.5).astype(np.int64),
+            }
+        )
+
+    return bucketed_by_key(ds, group_col, per_bucket)

@@ -486,3 +486,70 @@ def test_cube_sum_all_subsets(ray_session):
         (None, "p"): 5, (None, "q"): 2,                  # by b (cube-only)
         (None, None): 7,                                  # grand total
     }
+
+
+def test_grouped_comoments_blocking_invariant(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from spider_ray.pipelines.events import grouped_comoments
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], 300),
+            "x": rng.normal(10, 3, 300),
+            "y": rng.integers(0, 24, 300).astype(float),
+        }
+    )
+    one = ray.data.from_pandas(df)
+    many = ray.data.from_pandas(np.array_split(df, 7))
+
+    def canon(ds):
+        return (
+            ds.to_pandas().sort_values("g").reset_index(drop=True).values.tolist()
+        )
+
+    a = canon(grouped_comoments(one, "g", "x", "y", x_scale=100, y_scale=1))
+    b = canon(grouped_comoments(many, "g", "x", "y", x_scale=100, y_scale=1))
+    assert a == b
+    # exact integer check against a direct quantized computation
+    xq = np.floor(df["x"].to_numpy() * 100 + 0.5).astype(np.int64)
+    yq = np.floor(df["y"].to_numpy() * 1 + 0.5).astype(np.int64)
+    exp = {}
+    for g in ["a", "b", "c"]:
+        m = (df["g"] == g).to_numpy()
+        exp[g] = [
+            int(m.sum()), int(xq[m].sum()), int(yq[m].sum()),
+            int((xq[m] ** 2).sum()), int((yq[m] ** 2).sum()),
+            int((xq[m] * yq[m]).sum()),
+        ]
+    got = {r[0]: [int(v) for v in r[1:]] for r in a}
+    assert got == exp
+
+
+def test_grouped_percent_rank_ties(ray_session):
+    import pandas as pd
+
+    from spider_ray.pipelines.events import grouped_percent_rank
+
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 4 + ["b"],
+            "v": [1.0, 2.0, 2.0, 3.0, 5.0],
+            "i": [1, 2, 3, 4, 5],
+        }
+    )
+    out = (
+        grouped_percent_rank(ray.data.from_pandas(df), "g", "v", "i")
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    # group a: ranks min [1,2,2,4], cume [1/4, 3/4, 3/4, 1]
+    assert out["pr_ppb"].tolist() == [
+        0, 333333333, 333333333, 1000000000, 0
+    ]
+    assert out["cd_ppb"].tolist() == [
+        250000000, 750000000, 750000000, 1000000000, 1000000000
+    ]
