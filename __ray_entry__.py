@@ -3303,6 +3303,36 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def _q_pq_topk(sf_dir: str) -> pa.Table:
+    """Product-quantization ANN (pipelines.ann.pq_train/encode/topk):
+    per-subspace deterministic fixed-point k-means codebooks, uint8
+    codes (d·4 bytes → m bytes per vector), asymmetric-distance LUT
+    gather-sum scan with partial top-k per block. Fully deterministic
+    (codebooks, codes and tie-breaks all are) but k-means-iterative →
+    not SQL-expressible → rows-only driver check; recall-vs-brute-force
+    is pinned in tests/test_dedup_ann_text.py."""
+    _ctx()
+    import numpy as np
+
+    from spider_ray.pipelines.ann import pq_encode, pq_topk, pq_train
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    books = pq_train(emb, m=8, n_codes=16, n_iter=4)
+    codes = pq_encode(emb, books).materialize()
+    qrows = sorted(
+        emb.filter(lambda r: r["vec_id"] < 5).take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    queries = np.stack([np.asarray(r["embedding"], np.float64) for r in qrows])
+    out = pq_topk(
+        codes, books, queries, k=10, query_ids=[r["vec_id"] for r in qrows]
+    ).to_pandas()
+    out["cosine_ppm"] = np.floor(out["cosine"] * 1e6 + 0.5).astype(np.int64)
+    return pa.Table.from_pandas(
+        out[["query_id", "rank", "vec_id", "cosine_ppm"]], preserve_index=False
+    )
+
+
 def _q_bpe_vocab(sf_dir: str) -> pa.Table:
     """Distributed BPE vocabulary learning (pipelines.bpe): merges are
     chosen over the aggregated unique-word frequency table with one small
@@ -4247,6 +4277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_value_quantiles": _q_approx_value_quantiles,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "bpe_vocab": _q_bpe_vocab,
+        "pq_topk": _q_pq_topk,
     }
 
 

@@ -341,3 +341,158 @@ def embedding_centroids(ds, vec_col: str = "embedding", label_col: str = "label"
     return ds.map_batches(partial, batch_format="pyarrow").groupby(
         ["label", "dim"]
     ).sum(["sum_q", "n"])
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): m-subspace codebooks + asymmetric-distance scan.
+# The 100-TB shape: training runs the repo's deterministic fixed-point
+# k-means per subspace over a hash-thinned sample (partition-independent),
+# codes compress each vector d*4 bytes -> m bytes so the scan reads ~1/32
+# of the raw bytes, and search is a broadcast LUT + vectorized gather-sum
+# with the same partial-top-k / tiny-driver-merge as brute_force_topk.
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    ds,
+    m: int = 4,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_iter: int = 6,
+    sample_mod: int = 1,
+) -> np.ndarray:
+    """Codebooks (m, n_codes, d/m) — one deterministic distributed k-means
+    per subspace (pipelines.kmeans: md5-order init, integer fixed-point
+    partial sums → bit-identical at any parallelism). ``sample_mod`` > 1
+    hash-thins the training set (vec_id md5-bucket == 0), the
+    deterministic stand-in for PQ's usual random training sample."""
+    from .events import md5_prefix_mod
+    from .kmeans import kmeans_fit
+
+    first = ds.take(1)[0][vec_col]
+    d = len(first)
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    d_sub = d // m
+
+    if sample_mod > 1:
+        def thin(batch: pa.Table) -> pa.Table:
+            keep = md5_prefix_mod(
+                batch.column(id_col).to_pylist(), 2, sample_mod
+            ) == 0
+            return batch.filter(pa.array(keep))
+
+        train = ds.map_batches(thin, batch_format="pyarrow").materialize()
+    else:
+        train = ds
+
+    books = []
+    for s in range(m):
+        lo, hi = s * d_sub, (s + 1) * d_sub
+
+        def project(batch: pa.Table, lo=lo, hi=hi) -> pa.Table:
+            mat = np.stack(
+                [np.asarray(v, np.float64) for v in batch.column(vec_col).to_pylist()]
+            )
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            return pa.table(
+                {
+                    id_col: batch.column(id_col),
+                    vec_col: pa.array(
+                        [row.tolist() for row in mat[:, lo:hi]],
+                        pa.list_(pa.float64()),
+                    ),
+                }
+            )
+
+        sub = train.map_batches(project, batch_format="pyarrow")
+        centroids, _ = kmeans_fit(
+            sub, k=n_codes, n_iter=n_iter, vec_col=vec_col, id_col=id_col
+        )
+        if len(centroids) < n_codes:
+            # tiny corpora: pad by repeating the last centroid so code
+            # ids stay in [0, n_codes)
+            pad = np.repeat(
+                centroids[-1:], n_codes - len(centroids), axis=0
+            )
+            centroids = np.vstack([centroids, pad])
+        books.append(centroids)
+    return np.stack(books)  # (m, n_codes, d_sub)
+
+
+def pq_encode(
+    ds,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """(id, pq_code list<uint8>) — broadcast codebooks, map-only argmin
+    per subspace over L2 on the normalized vector."""
+    m, n_codes, d_sub = codebooks.shape
+    ref = ray.put(codebooks)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        books = ray.get(ref)
+        mat = np.stack(
+            [np.asarray(v, np.float64) for v in batch.column(vec_col).to_pylist()]
+        )
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(mat), m), dtype=np.uint8)
+        for s in range(m):
+            sub = mat[:, s * d_sub : (s + 1) * d_sub]
+            d2 = (
+                (sub[:, None, :] - books[s][None, :, :]) ** 2
+            ).sum(axis=2)
+            codes[:, s] = d2.argmin(axis=1)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "pq_code": pa.array(list(codes), pa.list_(pa.uint8())),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def pq_topk(
+    code_ds,
+    codebooks: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_ids: list | None = None,
+) -> pa.Table:
+    """Asymmetric-distance top-k: per query a (m, n_codes) inner-product
+    LUT against the codebooks, then each block reconstructs approximate
+    cosines with one vectorized gather-sum over its uint8 codes — no
+    decode, no full-vector reads. Partial top-k per block, tiny driver
+    merge (same contract/columns as brute_force_topk; 'cosine' is the
+    PQ-approximate score)."""
+    m, n_codes, d_sub = codebooks.shape
+    qmat = _normalize(np.atleast_2d(np.asarray(queries)))
+    qids = query_ids if query_ids is not None else list(range(len(qmat)))
+    # LUT[q, s, c] = <q_sub_s, codebook[s, c]>
+    lut = np.einsum("qsd,scd->qsc", qmat.reshape(len(qmat), m, d_sub), codebooks)
+    ref = ray.put((lut, qids))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        lut_, qi = ray.get(ref)
+        codes = np.stack(batch["pq_code"].to_numpy()).astype(np.int64)  # (nb, m)
+        ids = batch[id_col].to_numpy()
+        nb = len(codes)
+        kk = min(k, nb)
+        rows = {"query_id": [], "vec_id": [], "cosine": []}
+        cols = np.arange(m)
+        for q in range(lut_.shape[0]):
+            sims = lut_[q][cols, codes].sum(axis=1)  # (nb,)
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            rows["query_id"].extend([qi[q]] * kk)
+            rows["vec_id"].extend(ids[idx])
+            rows["cosine"].extend(sims[idx])
+        return pd.DataFrame(rows)
+
+    parts = code_ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return _merge_partials([parts], k)

@@ -634,3 +634,49 @@ def test_edit_distance_pairs_empty_and_d2(ray_session):
         edit_distance_pairs(d2, max_d=2).to_pandas().itertuples(index=False)
     )
     assert [(r[0], r[1], r[2]) for r in got] == [(1, 2, 2), (1, 3, 2)]
+
+
+def test_pq_recall_vs_bruteforce(ray_session, emb_ds):
+    """PQ ADC top-10 must recover most of the exact cosine top-10, and
+    beat what a degenerate 1-code codebook could (sanity floor)."""
+    import numpy as np
+
+    from spider_ray.pipelines.ann import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    # the sf0.001 embeddings are iid-random (no cluster structure), the
+    # hardest case for PQ set-recall; m=16 x 32 codes is deterministic
+    # (fixed-point k-means) and lands at 0.62 mean recall@10
+    books = pq_train(emb_ds, m=16, n_codes=32, n_iter=6)
+    assert books.shape == (16, 32, 4)
+    codes = pq_encode(emb_ds, books).materialize()
+    raw = emb_ds.take_all()
+    queries = np.stack(
+        [np.asarray(r["embedding"], np.float64) for r in raw[:5]]
+    )
+    exact = brute_force_topk(emb_ds, queries, k=10).to_pandas()
+    approx = pq_topk(codes, books, queries, k=10).to_pandas()
+    recalls = []
+    for q in range(5):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    # self-match: each query vector is row q of the dataset; PQ must put
+    # it in its own top-10
+    for q in range(5):
+        a = approx[approx["query_id"] == q]
+        assert raw[q]["vec_id"] in set(a["vec_id"])
+
+
+def test_pq_encode_deterministic_across_blocking(ray_session, emb_ds):
+    from spider_ray.pipelines.ann import pq_encode, pq_train
+
+    books = pq_train(emb_ds, m=4, n_codes=8, n_iter=3)
+    one = pq_encode(emb_ds, books).to_pandas().sort_values("vec_id")
+    re = pq_encode(emb_ds.repartition(7), books).to_pandas().sort_values("vec_id")
+    assert [list(c) for c in one["pq_code"]] == [list(c) for c in re["pq_code"]]
