@@ -172,6 +172,30 @@ class MinHasher:
         vals = (self.a[:, None] * shingles[None, :] + self.b[:, None]) % np.uint64(_P)
         return vals.min(axis=1)
 
+    def signatures_batch(
+        self, shingle_concat: np.ndarray, starts: np.ndarray
+    ) -> np.ndarray:
+        """(n_docs, num_perm) signatures over per-doc shingle slices of one
+        concatenated hash array — identical values to per-doc
+        ``signature`` (min over a multiset == min over its set, so the
+        batch path skips np.unique). One vectorized pass per permutation
+        (``np.minimum.reduceat`` on doc boundaries) replaces the per-doc
+        matmul loop; peak memory is one n_shingles row, not
+        num_perm × n_shingles."""
+        n_docs = len(starts)
+        out = np.empty((n_docs, self.num_perm), dtype=np.uint64)
+        if len(shingle_concat) == 0:
+            out[:] = np.iinfo(np.uint64).max
+            return out
+        p = np.uint64(_P)
+        for i in range(self.num_perm):
+            vals = (self.a[i] * shingle_concat + self.b[i]) % p
+            out[:, i] = np.minimum.reduceat(vals, starts)
+        # reduceat quirk: starts[j] == starts[j+1] (empty doc slice) yields
+        # vals[starts[j]], not identity — callers must route empty docs
+        # through the padded-shingle path instead (minhash_band_rows does).
+        return out
+
 
 def minhash_band_rows(
     batch: pa.Table,
@@ -182,24 +206,61 @@ def minhash_band_rows(
     shingle_k: int = 5,
 ) -> pa.Table:
     """Per-doc minhash → (band_id, band_hash, doc_id) rows for the LSH
-    groupby. band_hash = md5 of the band's rows (collision-safe join key)."""
+    groupby, fully batched across the block: shingle hashing is ONE
+    sliding-window matmul over the concatenated doc bytes (cross-boundary
+    windows sliced out; sub-k docs zero-padded to one shingle, same as
+    shingle_hashes), signatures are per-permutation ``minimum.reduceat``
+    over doc slices (bit-identical to the per-doc path — min ignores
+    multiset duplicates), and band keys are a vectorized splitmix64 fold
+    of each band's signature rows (collision-safe int64 join key; only a
+    ~2^-64 band-key collision could differ from hashing per doc, and the
+    true-Jaccard verify stage filters those)."""
     rows_per_band = hasher.num_perm // bands
     ids = batch.column(id_col).to_pylist()
     texts = batch.column(text_col).to_pylist()
-    out_band, out_hash, out_id = [], [], []
-    for doc_id, text in zip(ids, texts):
-        sig = hasher.signature(shingle_hashes(text, shingle_k))
-        for b in range(bands):
-            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-            h = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
-            out_band.append(b)
-            out_hash.append(h)
-            out_id.append(doc_id)
+    n_docs = len(ids)
+    if n_docs == 0:
+        return pa.table(
+            {
+                "band_id": pa.array([], pa.int32()),
+                "band_hash": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+            }
+        )
+    k = shingle_k
+    enc: list[bytes] = []
+    for t in texts:
+        raw = (t or "").encode("utf-8", "ignore")
+        if len(raw) < k:
+            raw = raw + b"\0" * (k - len(raw))  # shingle_hashes pad rule
+        enc.append(raw)
+    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n_docs)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    data = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    pw = [1]
+    for _ in range(k - 1):
+        pw.append((pw[-1] * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF)
+    powers = np.array(pw[::-1], dtype=np.uint64)
+    windows = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+    hashed_all = _mix64(windows @ powers)
+    # valid window starts: fully inside one doc
+    n_sh = lens - k + 1
+    valid = np.concatenate(
+        [np.arange(offs[j], offs[j] + n_sh[j]) for j in range(n_docs)]
+    )
+    starts = np.concatenate([[0], np.cumsum(n_sh)[:-1]])
+    sigs = hasher.signatures_batch(hashed_all[valid], starts)  # (n_docs, P)
+    bnd = sigs.reshape(n_docs, bands, rows_per_band)
+    h = np.full((n_docs, bands), 0xCBF29CE484222325, dtype=np.uint64)
+    for r in range(rows_per_band):
+        h = _mix64(h ^ bnd[:, :, r])
     return pa.table(
         {
-            "band_id": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_hash, pa.string()),
-            "doc_id": pa.array(out_id, pa.int64()),
+            "band_id": pa.array(
+                np.tile(np.arange(bands, dtype=np.int32), n_docs), pa.int32()
+            ),
+            "band_hash": pa.array(h.reshape(-1).view(np.int64), pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
         }
     )
 

@@ -680,3 +680,51 @@ def test_pq_encode_deterministic_across_blocking(ray_session, emb_ds):
     one = pq_encode(emb_ds, books).to_pandas().sort_values("vec_id")
     re = pq_encode(emb_ds.repartition(7), books).to_pandas().sort_values("vec_id")
     assert [list(c) for c in one["pq_code"]] == [list(c) for c in re["pq_code"]]
+
+
+def test_minhash_batch_signatures_match_perdoc():
+    """The batched reduceat signature path is bit-identical to the
+    per-doc matmul path (incl. short-doc padding and empty text)."""
+    import numpy as np
+
+    from spider_ray.pipelines.dedup import (
+        MinHasher,
+        _mix64,
+        shingle_hashes,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "abc",          # shorter than k -> padded single shingle
+        "",             # empty -> padded single shingle
+        "aaaaaaaaaaaa",  # heavy duplicate shingles
+        "the quick brown fox jumps over the lazy dog!",
+    ]
+    k = 5
+    hasher = MinHasher(num_perm=64)
+    expected = np.stack(
+        [hasher.signature(shingle_hashes(t, k)) for t in texts]
+    )
+    # batch path: replicate minhash_band_rows' concat construction
+    enc = []
+    for t in texts:
+        raw = t.encode()
+        if len(raw) < k:
+            raw = raw + b"\0" * (k - len(raw))
+        enc.append(raw)
+    lens = np.array([len(e) for e in enc])
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    data = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    pw = [1]
+    for _ in range(k - 1):
+        pw.append((pw[-1] * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF)
+    powers = np.array(pw[::-1], dtype=np.uint64)
+    windows = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+    hashed = _mix64(windows @ powers)
+    n_sh = lens - k + 1
+    valid = np.concatenate(
+        [np.arange(offs[j], offs[j] + n_sh[j]) for j in range(len(texts))]
+    )
+    starts = np.concatenate([[0], np.cumsum(n_sh)[:-1]])
+    got = hasher.signatures_batch(hashed[valid], starts)
+    assert np.array_equal(got, expected)
