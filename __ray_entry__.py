@@ -2157,6 +2157,52 @@ def _q_phash_neardup(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_image_fingerprints(sf_dir: str) -> pa.Table:
+    """Three perceptual fingerprints per fixture image — average-hash
+    (phash64), gradient difference-hash (dhash64) and classic DCT pHash
+    (dct_phash64, brightness-offset-invariant) — computed distributed in
+    one map_batches over the encoded bytes; the oracle is the frozen
+    fixture-closed-form literal table (tools/gen_fixture_oracles.py)."""
+    _ctx()
+    from spider_ray.functions.imagecodec import (
+        dct_phash64,
+        decode_image,
+        dhash64,
+        encode_image,
+        phash64,
+    )
+    from spider_ray.pipelines.dedup import _to_i64
+    from spider_ray.sources.fixtures import MockWebConfig, image_pixels
+
+    n = min(200, pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows)
+    cfg = MockWebConfig(n_pages=n)
+    rows = [
+        {
+            "image_id": f"img-{i}",
+            "bytes": encode_image(image_pixels(i, cfg), "png"),
+        }
+        for i in range(0, n, CRAWL_IMG_EVERY)
+    ]
+
+    def fingerprint(batch: pa.Table) -> pa.Table:
+        px = [decode_image(b) for b in batch.column("bytes").to_pylist()]
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "phash": pa.array([_to_i64(phash64(p)) for p in px], pa.int64()),
+                "dhash": pa.array([_to_i64(dhash64(p)) for p in px], pa.int64()),
+                "dct_phash": pa.array(
+                    [_to_i64(dct_phash64(p)) for p in px], pa.int64()
+                ),
+            }
+        )
+
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    return _collect(
+        ds.map_batches(fingerprint, batch_format="pyarrow")
+    ).sort_by("image_id")
+
+
 def _q_aspect_buckets(sf_dir: str) -> pa.Table:
     """SDXL-style aspect-ratio bucketing + fixed-size micro-batch
     assignment (pipelines.train_data.aspect_bucket_batches): nearest
@@ -4217,6 +4263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_percent_rank": _q_events_percent_rank,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "triangle_count": _q_triangle_count,
+        "image_fingerprints": _q_image_fingerprints,
         # ---- top-50 window ends here (50 entries above) -------------------
         # rollup_lineitem yields its window slot to dup_window_stats: the
         # grouping-sets machinery it exercises is identically covered by
@@ -4355,6 +4402,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_dedup": _SQL_NEARDUP_DEDUP,
         "image_decode_stats": _FIXTURE_SQL.SQL_IMAGE_DECODE_STATS,
         "phash_neardup": _FIXTURE_SQL.SQL_PHASH_NEARDUP,
+        "image_fingerprints": _FIXTURE_SQL.SQL_IMAGE_FINGERPRINTS,
         "audio_features": _FIXTURE_SQL.SQL_AUDIO_FEATURES,
         "video_frames": _FIXTURE_SQL.SQL_VIDEO_FRAMES,
         "fingerprints": _SQL_FINGERPRINTS,

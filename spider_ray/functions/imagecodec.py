@@ -233,6 +233,45 @@ def phash64(pixels: np.ndarray) -> int:
     return int(np.int64(value))
 
 
+def _pack_bits64(bits: np.ndarray) -> int:
+    """≤64 bits, MSB-first → signed int64 (Arrow-ready)."""
+    value = np.uint64(0)
+    for b in bits.astype(np.uint64):
+        value = (value << np.uint64(1)) | b
+    return int(np.int64(value))
+
+
+def dhash64(pixels: np.ndarray) -> int:
+    """8×9 difference-hash: bit = right-neighbor brighter. Gradient
+    signs survive global brightness/contrast shifts that flip the
+    average-hash's mean threshold."""
+    small = _block_mean_resize(to_gray(pixels), 8, 9)
+    return _pack_bits64((small[:, 1:] > small[:, :-1]).ravel())
+
+
+_DCT32 = None
+
+
+def dct_phash64(pixels: np.ndarray) -> int:
+    """Classic DCT pHash: 32×32 area-resize → orthonormal 2-D DCT-II →
+    the 8×8 low-frequency block minus DC, thresholded at its median
+    (63 bits). Exactly invariant to uniform brightness offsets (a
+    constant shifts only the DC coefficient) and robust to re-encode
+    noise that flips avg-hash bits near the mean."""
+    global _DCT32
+    if _DCT32 is None:
+        n = 32
+        u = np.arange(n)[:, None]
+        x = np.arange(n)[None, :]
+        mat = np.cos(np.pi * (2 * x + 1) * u / (2 * n)) * np.sqrt(2.0 / n)
+        mat[0] /= np.sqrt(2.0)
+        _DCT32 = mat
+    g = _block_mean_resize(to_gray(pixels), 32, 32)
+    coeffs = _DCT32 @ g @ _DCT32.T
+    vals = coeffs[:8, :8].ravel()[1:]  # drop DC
+    return _pack_bits64(vals > np.median(vals))
+
+
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
 

@@ -65,3 +65,51 @@ def test_phash_properties():
     other = _img(5, 128, 96)
     assert hamming64(h1, phash64(other)) > 6
     assert -(2**63) <= h1 < 2**63  # fits int64 column
+
+
+def test_dhash_and_dct_phash_properties():
+    import numpy as np
+
+    from spider_ray.functions.imagecodec import (
+        dct_phash64,
+        dhash64,
+        hamming64,
+        phash64,
+    )
+    from spider_ray.sources.fixtures import MockWebConfig, image_pixels
+
+    cfg = MockWebConfig(n_pages=50)
+    a = image_pixels(0, cfg)
+    b = image_pixels(5, cfg)
+    for fn in (dhash64, dct_phash64, phash64):
+        # deterministic + self-identical
+        assert fn(a) == fn(a)
+        # distinct images land far apart
+        assert hamming64(fn(a), fn(b)) > 8, fn.__name__
+
+    # dct_phash: EXACTLY invariant to a uniform brightness offset (the
+    # constant moves only the DC coefficient, which is dropped)
+    shifted = np.clip(a.astype(np.int64) + 10, 0, 255).astype(np.uint8)
+    if (a <= 245).all():  # no clipping occurred → exact invariance holds
+        assert dct_phash64(shifted) == dct_phash64(a)
+    # dhash: gradient signs survive the offset too
+    assert hamming64(dhash64(shifted), dhash64(a)) <= 2
+
+
+def test_dhash_dct_phash_reencode_stability():
+    from spider_ray.functions.imagecodec import (
+        dct_phash64,
+        decode_image,
+        dhash64,
+        encode_image,
+        hamming64,
+    )
+    from spider_ray.sources.fixtures import MockWebConfig, image_pixels
+
+    cfg = MockWebConfig(n_pages=50)
+    for i in range(0, 50, 5):
+        px = image_pixels(i, cfg)
+        png = decode_image(encode_image(px, "png"))
+        jpg = decode_image(encode_image(px, "jpeg"))
+        assert hamming64(dhash64(png), dhash64(jpg)) <= 3, i
+        assert hamming64(dct_phash64(png), dct_phash64(jpg)) <= 3, i

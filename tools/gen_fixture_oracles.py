@@ -69,6 +69,27 @@ def main() -> None:
         f"({i}, '{iid}', CAST({p} AS BIGINT))" for i, iid, p in ph
     )
 
+    # ---- image_fingerprints: i in range(0, min(200, docs), 5), png path --
+    from spider_ray.functions.imagecodec import dct_phash64, dhash64
+
+    fps = []
+    for i in range(0, 200, CRAWL_IMG_EVERY):
+        px = decode_image(encode_image(image_pixels(i, cfg), "png"))
+        fps.append(
+            (
+                i,
+                f"img-{i}",
+                _to_i64(phash64(px)),
+                _to_i64(dhash64(px)),
+                _to_i64(dct_phash64(px)),
+            )
+        )
+    fp_vals = ",\n  ".join(
+        f"({i}, '{iid}', CAST({p} AS BIGINT), CAST({d} AS BIGINT), "
+        f"CAST({c} AS BIGINT))"
+        for i, iid, p, d, c in fps
+    )
+
     # ---- audio_features: i in range(0, min(200, docs), 4), q9-quantized --
     cfga = MockWebConfig(n_pages=200)
     arows = [
@@ -126,6 +147,15 @@ SELECT a.image_id AS id_a, b.image_id AS id_b,
 FROM live a JOIN live b ON a.image_id < b.image_id
 WHERE bit_count(xor(a.phash, b.phash)) <= 3
 ORDER BY id_a, id_b
+"""
+
+SQL_IMAGE_FINGERPRINTS = """
+WITH lit(idx, image_id, phash, dhash, dct_phash) AS (VALUES
+  {fp_vals})
+SELECT image_id, phash, dhash, dct_phash
+FROM lit
+WHERE idx < least(200, (SELECT count(*) FROM documents))
+ORDER BY image_id
 """
 
 SQL_AUDIO_FEATURES = """
