@@ -1384,6 +1384,41 @@ ORDER BY event_id
 """
 
 
+def _q_value_outliers(sf_dir: str) -> pa.Table:
+    """3σ outliers per event_type via exact integer arithmetic
+    (pipelines.events.grouped_outliers): the z-score predicate becomes
+    d² > 9·B over int64/HUGEINT — no float on either engine, so equality
+    is by construction, not rounding luck."""
+    _ctx()
+    from spider_ray.pipelines.events import grouped_outliers
+
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    out = _collect(
+        grouped_outliers(ev, "event_type", "value", "event_id", n_sigma=3)
+    )
+    return out.sort_by("event_id")
+
+
+_SQL_VALUE_OUTLIERS = """
+WITH q AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vq
+  FROM events
+),
+m AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         sum(vq)::HUGEINT AS s, sum(vq*vq)::HUGEINT AS ss
+  FROM q GROUP BY event_type
+)
+SELECT q.event_id, q.event_type,
+       CASE WHEN m.n * q.vq - m.s > 0 THEN 1
+            WHEN m.n * q.vq - m.s < 0 THEN -1 ELSE 0 END AS dev_pos
+FROM q JOIN m USING (event_type)
+WHERE (m.n * q.vq - m.s) * (m.n * q.vq - m.s) > 9 * (m.n * m.ss - m.s * m.s)
+ORDER BY q.event_id
+"""
+
+
 def _q_funnel_conversion(sf_dir: str) -> pa.Table:
     """Two-step funnel (pipelines.events.funnel_conversion): of the
     users with a click, who purchased within one hour of their FIRST
@@ -4264,6 +4299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_distance_pairs": _q_edit_distance_pairs,
         "triangle_count": _q_triangle_count,
         "image_fingerprints": _q_image_fingerprints,
+        "value_outliers": _q_value_outliers,
         # ---- top-50 window ends here (50 entries above) -------------------
         # rollup_lineitem yields its window slot to dup_window_stats: the
         # grouping-sets machinery it exercises is identically covered by
@@ -4403,6 +4439,7 @@ def oracle_sql() -> dict[str, str]:
         "image_decode_stats": _FIXTURE_SQL.SQL_IMAGE_DECODE_STATS,
         "phash_neardup": _FIXTURE_SQL.SQL_PHASH_NEARDUP,
         "image_fingerprints": _FIXTURE_SQL.SQL_IMAGE_FINGERPRINTS,
+        "value_outliers": _SQL_VALUE_OUTLIERS,
         "audio_features": _FIXTURE_SQL.SQL_AUDIO_FEATURES,
         "video_frames": _FIXTURE_SQL.SQL_VIDEO_FRAMES,
         "fingerprints": _SQL_FINGERPRINTS,

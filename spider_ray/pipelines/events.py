@@ -855,3 +855,54 @@ def grouped_percent_rank(ds, group_col: str, value_col: str, id_col: str):
         )
 
     return bucketed_by_key(ds, group_col, per_bucket)
+
+
+def grouped_outliers(
+    ds,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_sigma: int = 3,
+    scale: int = 100,
+):
+    """Rows beyond ``n_sigma`` population standard deviations of their
+    group mean — EXACT, no floating point anywhere: with quantized
+    v_q = floor(v·scale + .5) and per-group integer moments (n, Σv_q,
+    Σv_q²), the predicate (v−mean)² > k²·var is the integer comparison
+    d² > k²·B where d = n·v_q − Σv_q and B = n·Σv_q² − (Σv_q)², which is
+    |d| > isqrt(k²·B) (d integer). The moments table is tiny (one row
+    per group) — broadcast once; the fact side is map-only. A SQL oracle
+    states the same predicate in HUGEINT. Output: (id, group, dev_pos)
+    where dev_pos = sign of d (+1 above mean, −1 below)."""
+    import math
+
+    import ray
+
+    moments = grouped_moments(ds, group_col, value_col, scale=scale).to_pandas()
+    thresh = {}
+    for _, r in moments.iterrows():
+        n, s, ss = int(r["n"]), int(r["sum_q"]), int(r["sumsq_q"])
+        b = n * ss - s * s
+        thresh[r[group_col]] = (n, s, math.isqrt(n_sigma * n_sigma * b))
+    ref = ray.put(thresh)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        th = ray.get(ref)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        vq = np.floor(v.astype(np.float64) * scale + 0.5).astype(np.int64)
+        groups = batch.column(group_col).to_pylist()
+        n_arr = np.fromiter((th[g][0] for g in groups), np.int64, len(groups))
+        s_arr = np.fromiter((th[g][1] for g in groups), np.int64, len(groups))
+        t_arr = np.fromiter((th[g][2] for g in groups), np.int64, len(groups))
+        d = n_arr * vq - s_arr
+        keep = np.abs(d) > t_arr
+        out = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                id_col: out.column(id_col),
+                group_col: out.column(group_col),
+                "dev_pos": pa.array(np.sign(d[keep]), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")

@@ -553,3 +553,41 @@ def test_grouped_percent_rank_ties(ray_session):
     assert out["cd_ppb"].tolist() == [
         250000000, 750000000, 750000000, 1000000000, 1000000000
     ]
+
+
+def test_grouped_outliers_exact_integer_predicate(ray_session):
+    """Planted extreme values are flagged with the right sign; borderline
+    values obey the exact d^2 > 9B rule (no float drift)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from spider_ray.pipelines.events import grouped_outliers
+
+    rng = np.random.default_rng(11)
+    vals = rng.normal(50, 2, 500).tolist() + [500.0, -400.0]
+    df = pd.DataFrame(
+        {
+            "g": ["t"] * 502,
+            "v": vals,
+            "i": list(range(502)),
+        }
+    )
+    out = (
+        grouped_outliers(ray.data.from_pandas(df), "g", "v", "i", n_sigma=3)
+        .to_pandas()
+        .sort_values("i")
+    )
+    got = dict(zip(out["i"], out["dev_pos"]))
+    assert got.get(500) == 1 and got.get(501) == -1
+    # replicate the exact rule
+    vq = np.floor(df["v"].to_numpy() * 100 + 0.5).astype(np.int64)
+    n, s, ss = len(vq), int(vq.sum()), int((vq.astype(object) ** 2).sum())
+    t = math.isqrt(9 * (n * ss - s * s))
+    expected = {
+        int(i)
+        for i, q in zip(df["i"], vq)
+        if abs(n * int(q) - s) > t
+    }
+    assert set(out["i"]) == expected
