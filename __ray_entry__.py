@@ -1384,6 +1384,38 @@ ORDER BY event_id
 """
 
 
+def _q_events_global_sort(sf_dir: str) -> pa.Table:
+    """Distributed TOTAL sort (pipelines.events.global_sorted — Ray
+    Data's range-partitioned all-to-all sort) over events by (value,
+    event_id), head 200 of the sorted stream. Exists to pin the full
+    ds.sort path end-to-end (every other ORDER-BY query deliberately
+    compiles to partial-top-k); 200 rows is the collected result, not
+    the shuffle size."""
+    _ctx()
+    import numpy as np
+
+    from spider_ray.pipelines.events import global_sorted
+
+    ev = _read(sf_dir, "events", columns=["event_id", "value"])
+    head = global_sorted(
+        ev, [("value", "ascending"), ("event_id", "ascending")]
+    ).limit(200)
+    out = _collect(head).to_pandas()
+    out["value_q"] = np.floor(out["value"] * 100 + 0.5).astype(np.int64)
+    return pa.Table.from_pandas(
+        out[["event_id", "value_q"]], preserve_index=False
+    )
+
+
+_SQL_EVENTS_GLOBAL_SORT = """
+SELECT event_id,
+       CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_q
+FROM events
+ORDER BY value, event_id
+LIMIT 200
+"""
+
+
 def _q_value_outliers(sf_dir: str) -> pa.Table:
     """3σ outliers per event_type via exact integer arithmetic
     (pipelines.events.grouped_outliers): the z-score predicate becomes
@@ -4300,6 +4332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": _q_triangle_count,
         "image_fingerprints": _q_image_fingerprints,
         "value_outliers": _q_value_outliers,
+        "events_global_sort": _q_events_global_sort,
         # ---- top-50 window ends here (50 entries above) -------------------
         # rollup_lineitem yields its window slot to dup_window_stats: the
         # grouping-sets machinery it exercises is identically covered by
@@ -4440,6 +4473,7 @@ def oracle_sql() -> dict[str, str]:
         "phash_neardup": _FIXTURE_SQL.SQL_PHASH_NEARDUP,
         "image_fingerprints": _FIXTURE_SQL.SQL_IMAGE_FINGERPRINTS,
         "value_outliers": _SQL_VALUE_OUTLIERS,
+        "events_global_sort": _SQL_EVENTS_GLOBAL_SORT,
         "audio_features": _FIXTURE_SQL.SQL_AUDIO_FEATURES,
         "video_frames": _FIXTURE_SQL.SQL_VIDEO_FRAMES,
         "fingerprints": _SQL_FINGERPRINTS,

@@ -906,3 +906,15 @@ def grouped_outliers(
         )
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def global_sorted(ds, sort_keys: list[tuple[str, str]]):
+    """TOTAL order over the whole Dataset — Ray Data's range-partitioned
+    distributed sort (`Dataset.sort`), the genuinely wide all-to-all
+    path. Use when the CONSUMER needs the full sorted stream (sorted
+    sink, merge join input, percentile file layout); for "ORDER BY …
+    LIMIT k" use global_topk instead, which never shuffles the corpus.
+    Returns the sorted Dataset (stream it; don't collect big results)."""
+    cols = [c for c, _ in sort_keys]
+    desc = [d == "descending" for _, d in sort_keys]
+    return ds.sort(cols, descending=desc)
