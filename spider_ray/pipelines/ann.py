@@ -496,3 +496,223 @@ def pq_topk(
 
     parts = code_ds.map_batches(partial, batch_format="pandas").to_pandas()
     return _merge_partials([parts], k)
+
+
+class IvfPqIndex:
+    """IVF-PQ physical layout (the Lance-style index: IVF prunes WHICH
+    files are read, PQ shrinks WHAT is read):
+
+    ``root/cells/cell=<c>/part-*.parquet`` — (id, cell, pq_code) only,
+    m uint8 codes per vector, no raw floats (d·8 → m bytes per row on
+    the probed path);
+    ``root/centers.parquet``   — coarse quantizer;
+    ``root/codebooks.npy``     — shared residual codebooks (m, k, d/m);
+    ``root/cell_rows.parquet`` — pruning stats.
+
+    Approximate score = <q, center_cell> + Σ_s LUT[s, code_s] with
+    LUT[s, c] = <q_s, codebook[s, c]> — the standard ADC-over-residuals
+    decomposition, one tiny LUT per query, vectorized gather-sum per
+    block."""
+
+    def __init__(self, root: str):
+        import os
+
+        import pyarrow.parquet as pqt
+
+        self.root = root
+        c = pqt.read_table(os.path.join(root, "centers.parquet"))
+        self.centers = np.stack(
+            [np.asarray(v, np.float64) for v in c.column("center").to_pylist()]
+        )
+        self.codebooks = np.load(os.path.join(root, "codebooks.npy"))
+        stats = pqt.read_table(os.path.join(root, "cell_rows.parquet"))
+        self.cell_rows = dict(
+            zip(stats.column("cell").to_pylist(), stats.column("rows").to_pylist())
+        )
+        self.total_rows = sum(self.cell_rows.values())
+
+    def topk(
+        self,
+        queries: np.ndarray,
+        k: int = 10,
+        n_probe: int = 4,
+        id_col: str = "vec_id",
+        query_ids: list | None = None,
+    ) -> tuple[pa.Table, dict]:
+        import os
+
+        m, n_codes, d_sub = self.codebooks.shape
+        qmat = _normalize(np.atleast_2d(np.asarray(queries)))
+        qids = query_ids if query_ids is not None else list(range(len(qmat)))
+        n_probe = min(n_probe, len(self.centers))
+        center_sims = qmat @ self.centers.T  # (nq, n_cells)
+        probe_cells = np.argsort(-center_sims, axis=1)[:, :n_probe]
+        union_cells = sorted({int(c) for row in probe_cells for c in row})
+        dirs = [
+            os.path.join(d, f)
+            for d in (
+                os.path.join(self.root, "cells", f"cell={c}")
+                for c in union_cells
+            )
+            if os.path.isdir(d)
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        ]
+        scanned = sum(self.cell_rows.get(c, 0) for c in union_cells)
+        stats = {
+            "scanned_rows": scanned,
+            "total_rows": self.total_rows,
+            "cells_probed": len(union_cells),
+            "n_cells": len(self.centers),
+            "bytes_per_vec": m,
+        }
+        empty = pa.table(
+            {"query_id": pa.array([], pa.int64()), "rank": pa.array([], pa.int64()),
+             "vec_id": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
+        )
+        if not dirs:
+            return empty, stats
+        lut = np.einsum(
+            "qsd,scd->qsc", qmat.reshape(len(qmat), m, d_sub), self.codebooks
+        )
+        ref = ray.put((lut, center_sims, probe_cells, qids))
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            lut_, csims, probes, qi = ray.get(ref)
+            codes = np.stack(batch["pq_code"].to_numpy()).astype(np.int64)
+            cells = batch["cell"].to_numpy()
+            ids = batch[id_col].to_numpy()
+            cols = np.arange(codes.shape[1])
+            rows = {"query_id": [], "vec_id": [], "cosine": []}
+            for q in range(lut_.shape[0]):
+                mask = np.isin(cells, probes[q])
+                if not mask.any():
+                    continue
+                sub = codes[mask]
+                sims = lut_[q][cols, sub].sum(axis=1) + csims[q][cells[mask]]
+                sub_ids = ids[mask]
+                kk = min(k, len(sub_ids))
+                idx = (
+                    np.argpartition(-sims, kk - 1)[:kk]
+                    if len(sims) > kk
+                    else np.arange(len(sims))
+                )
+                rows["query_id"].extend([qi[q]] * len(idx))
+                rows["vec_id"].extend(sub_ids[idx])
+                rows["cosine"].extend(sims[idx])
+            return pd.DataFrame(rows)
+
+        ds = ray.data.read_parquet(dirs)
+        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        if parts.empty:
+            return empty, stats
+        return _merge_partials([parts], k), stats
+
+
+def build_ivfpq_index(
+    ds,
+    out_dir: str,
+    n_cells: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 2048,
+    seed: int = 5,
+) -> IvfPqIndex:
+    """One pass: fit the coarse quantizer and shared residual PQ
+    codebooks on a driver sample, then assign + residual-encode every
+    vector inside ``map_batches`` and lay out (id, cell, pq_code) as
+    cell-partitioned parquet — raw floats never reach the index, so the
+    probed-path scan reads m bytes per vector."""
+    import os
+
+    import pyarrow.parquet as pqt
+
+    sample_rows = ds.limit(sample_size).to_pandas()
+    sample = _normalize(np.stack(sample_rows[vec_col].to_numpy()))
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    d_sub = d // m
+    centers = kmeans_lite(sample, n_cells, seed=seed)
+    resid = sample - centers[np.argmax(sample @ centers.T, axis=1)]
+
+    def lloyd_l2(x: np.ndarray, kk: int, sd: int) -> np.ndarray:
+        # plain L2 Lloyd — kmeans_lite is cosine-geometry (normalizes
+        # centers), the wrong objective for residual codebooks whose
+        # encoder assigns by L2
+        rng = np.random.default_rng(sd)
+        cen = x[rng.choice(len(x), size=min(kk, len(x)), replace=False)].copy()
+        for _ in range(12):
+            d2 = ((x[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(len(cen)):
+                members = x[a == c]
+                if len(members):
+                    cen[c] = members.mean(axis=0)
+        if len(cen) < kk:
+            cen = np.vstack([cen, np.repeat(cen[-1:], kk - len(cen), axis=0)])
+        return cen
+
+    books = np.stack(
+        [
+            lloyd_l2(resid[:, s * d_sub : (s + 1) * d_sub], n_codes, seed + 1 + s)
+            for s in range(m)
+        ]
+    )
+    cref = ray.put((centers, books))
+
+    def assign_encode(batch: pa.Table) -> pa.Table:
+        cen, bk = ray.get(cref)
+        mat = _normalize(
+            np.stack(
+                [np.asarray(v, np.float64) for v in batch.column(vec_col).to_pylist()]
+            )
+        )
+        cells = np.argmax(mat @ cen.T, axis=1)
+        r = mat - cen[cells]
+        codes = np.empty((len(mat), m), dtype=np.uint8)
+        for s in range(m):
+            sub = r[:, s * d_sub : (s + 1) * d_sub]
+            d2 = ((sub[:, None, :] - bk[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = d2.argmin(axis=1)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "cell": pa.array(cells.astype(np.int32), pa.int32()),
+                "pq_code": pa.array(list(codes), pa.list_(pa.uint8())),
+            }
+        )
+
+    from ..sources.storage import write_partitioned
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = write_partitioned(
+        ds.map_batches(assign_encode, batch_format="pyarrow"),
+        os.path.join(out_dir, "cells"),
+        key_col="cell",
+    ).to_pandas()
+    per_cell = manifest.groupby("partition")["rows"].sum()
+    pqt.write_table(
+        pa.table(
+            {
+                "cell": pa.array([int(c) for c in per_cell.index], pa.int64()),
+                "rows": pa.array([int(r) for r in per_cell.values], pa.int64()),
+            }
+        ),
+        os.path.join(out_dir, "cell_rows.parquet"),
+    )
+    pqt.write_table(
+        pa.table(
+            {
+                "cell_id": pa.array(range(len(centers)), pa.int64()),
+                "center": pa.array(
+                    [c.tolist() for c in centers], pa.list_(pa.float64())
+                ),
+            }
+        ),
+        os.path.join(out_dir, "centers.parquet"),
+    )
+    np.save(os.path.join(out_dir, "codebooks.npy"), books)
+    return IvfPqIndex(out_dir)

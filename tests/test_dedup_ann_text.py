@@ -728,3 +728,62 @@ def test_minhash_batch_signatures_match_perdoc():
     starts = np.concatenate([[0], np.cumsum(n_sh)[:-1]])
     got = hasher.signatures_batch(hashed[valid], starts)
     assert np.array_equal(got, expected)
+
+
+def test_ivfpq_recall_pruning_and_compression(ray_session, emb_ds, tmp_path):
+    """IVF-PQ: probed-path reads are pruned AND compressed (m bytes per
+    vector, no raw floats in the index files); recall holds vs brute
+    force at full probe."""
+    import os
+
+    import numpy as np
+
+    from spider_ray.pipelines.ann import (
+        IvfPqIndex,
+        brute_force_topk,
+        build_ivfpq_index,
+    )
+
+    raw = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    mat = np.stack(raw["embedding"].to_numpy()).astype(np.float64)
+    queries = mat[:5]
+    exact = brute_force_topk(emb_ds, queries, k=10).to_pandas()
+
+    index = build_ivfpq_index(
+        emb_ds, str(tmp_path / "ivfpq"), n_cells=8, m=16, n_codes=32
+    )
+    # reload from disk — the layout is the contract
+    index = IvfPqIndex(str(tmp_path / "ivfpq"))
+    assert index.total_rows == len(raw)
+
+    # no raw vectors in the cell files
+    cell_dirs = os.listdir(str(tmp_path / "ivfpq" / "cells"))
+    f = next(
+        os.path.join(str(tmp_path / "ivfpq" / "cells"), d, p)
+        for d in cell_dirs
+        for p in os.listdir(os.path.join(str(tmp_path / "ivfpq" / "cells"), d))
+        if p.endswith(".parquet")
+    )
+    cols = pq.read_schema(f).names
+    assert "embedding" not in cols and "pq_code" in cols
+
+    # partial probe physically prunes
+    _, stats = index.topk(queries, k=10, n_probe=3)
+    assert 0 < stats["scanned_rows"] < stats["total_rows"]
+    assert stats["bytes_per_vec"] == 16
+
+    # full probe ≈ plain PQ: decent recall on iid-random vectors
+    approx, stats_full = index.topk(queries, k=10, n_probe=8)
+    assert stats_full["scanned_rows"] == stats_full["total_rows"]
+    approx = approx.to_pandas()
+    recalls = []
+    for q in range(5):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+    # self-match at full probe
+    for q in range(5):
+        assert raw.iloc[q]["vec_id"] in set(
+            approx[approx["query_id"] == q]["vec_id"]
+        )
