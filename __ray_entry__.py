@@ -1384,6 +1384,33 @@ ORDER BY event_id
 """
 
 
+def _q_props_key_agg(sf_dir: str) -> pa.Table:
+    """Semi-structured extraction + aggregate: the events ``props`` JSON
+    column's ``k`` member pulled with ONE vectorized RE2 kernel per batch
+    (functions.jsonx — no per-row json.loads on the fast path), then a
+    per-type integer sum/count. Oracle uses DuckDB's JSON operator."""
+    _ctx()
+    from spider_ray.functions.jsonx import with_json_int
+    from spider_ray.pipelines.relational import preagg_sum
+
+    ev = _read(sf_dir, "events", columns=["event_type", "props"])
+    with_k = with_json_int(ev, "props", "k", out_col="k")
+    out = _collect(preagg_sum(with_k, ["event_type"], ["k"])).to_pandas()
+    out = out.sort_values("event_type").reset_index(drop=True)
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "sum_k": pa.array(out["k"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+_SQL_PROPS_KEY_AGG = """
+SELECT event_type, sum(CAST(props->>'k' AS BIGINT))::BIGINT AS sum_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def _q_events_global_sort(sf_dir: str) -> pa.Table:
     """Distributed TOTAL sort (pipelines.events.global_sorted — Ray
     Data's range-partitioned all-to-all sort) over events by (value,
@@ -4333,6 +4360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_fingerprints": _q_image_fingerprints,
         "value_outliers": _q_value_outliers,
         "events_global_sort": _q_events_global_sort,
+        "props_key_agg": _q_props_key_agg,
         # ---- top-50 window ends here (50 entries above) -------------------
         # rollup_lineitem yields its window slot to dup_window_stats: the
         # grouping-sets machinery it exercises is identically covered by
@@ -4474,6 +4502,7 @@ def oracle_sql() -> dict[str, str]:
         "image_fingerprints": _FIXTURE_SQL.SQL_IMAGE_FINGERPRINTS,
         "value_outliers": _SQL_VALUE_OUTLIERS,
         "events_global_sort": _SQL_EVENTS_GLOBAL_SORT,
+        "props_key_agg": _SQL_PROPS_KEY_AGG,
         "audio_features": _FIXTURE_SQL.SQL_AUDIO_FEATURES,
         "video_frames": _FIXTURE_SQL.SQL_VIDEO_FRAMES,
         "fingerprints": _SQL_FINGERPRINTS,

@@ -117,3 +117,36 @@ def test_c4_quality_flags_every_bit(ray_session):
     )
     assert out["flags"].tolist() == list(texts.keys())
     assert out["keep"].tolist() == [f == 0 for f in texts.keys()]
+
+
+def test_jsonx_fast_and_strict_paths(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+
+    from spider_ray.functions.jsonx import extract_int, extract_str, with_json_int
+
+    col = pa.chunked_array([pa.array([
+        '{"k": 87, "s": "hi"}',
+        '{"s":"x","k":-3}',
+        '{"nope": 1}',
+        'not json at all',
+        None,
+        '{"k": 1e2}',  # scientific float: regex misses, strict parses
+    ])])
+    vals = extract_int(col, "k").to_pylist()
+    assert vals == [87, -3, None, None, None, None]
+    assert extract_str(col, "s").to_pylist()[:2] == ["hi", "x"]
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"props": col.to_pylist(), "i": range(6)})
+    )
+    fast = with_json_int(ds, "props", "k").to_pandas().sort_values("i")
+    assert fast["k"].tolist()[:2] == [87, -3]
+    strict = (
+        with_json_int(ds, "props", "k", strict=True).to_pandas().sort_values("i")
+    )
+    got = [None if pd.isna(v) else int(v) for v in strict["k"]]
+    # strict repairs the scientific-notation row, leaves the rest null
+    assert got == [87, -3, None, None, None, 100]
