@@ -3840,6 +3840,61 @@ FROM f ORDER BY doc_id
 """
 
 
+def _q_jsonl_roundtrip(sf_dir: str) -> pa.Table:
+    """JSONL sink/source round-trip over Ray Data's native
+    write_json/read_json (line-delimited): the events key columns go out
+    as distributed task-owned .json shards and come back, reduced to a
+    per-type count + integer value sum. Pins the third source format
+    (parquet, WebDataset tar, JSONL) end to end; oracle is the same
+    aggregate straight off the parquet."""
+    _ctx()
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="spider_ray_jsonl_")
+    try:
+        ev = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+        def quantize(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            v = batch.column("value").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "event_id": batch.column("event_id"),
+                    "event_type": batch.column("event_type"),
+                    "value_q": pa.array(
+                        np.floor(v * 100 + 0.5).astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        ev.map_batches(quantize, batch_format="pyarrow").write_json(out)
+        back = ray.data.read_json(out)
+        from spider_ray.pipelines.relational import preagg_sum
+
+        agg = _collect(
+            preagg_sum(back, ["event_type"], ["value_q"], count_alias="n")
+        ).to_pandas()
+        agg = agg.sort_values("event_type").reset_index(drop=True)
+        return pa.table(
+            {
+                "event_type": pa.array(agg["event_type"], pa.string()),
+                "n": pa.array(agg["n"].astype("int64"), pa.int64()),
+                "sum_q": pa.array(agg["value_q"].astype("int64"), pa.int64()),
+            }
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+_SQL_JSONL_ROUNDTRIP = """
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))::BIGINT AS sum_q
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def _q_webdataset_roundtrip(sf_dir: str) -> pa.Table:
     """WebDataset tar-shard sink/source round-trip
     (sources.webdataset): documents are packed into deterministic tar
@@ -4361,6 +4416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_outliers": _q_value_outliers,
         "events_global_sort": _q_events_global_sort,
         "props_key_agg": _q_props_key_agg,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
         # ---- top-50 window ends here (50 entries above) -------------------
         # rollup_lineitem yields its window slot to dup_window_stats: the
         # grouping-sets machinery it exercises is identically covered by
@@ -4503,6 +4559,7 @@ def oracle_sql() -> dict[str, str]:
         "value_outliers": _SQL_VALUE_OUTLIERS,
         "events_global_sort": _SQL_EVENTS_GLOBAL_SORT,
         "props_key_agg": _SQL_PROPS_KEY_AGG,
+        "jsonl_roundtrip": _SQL_JSONL_ROUNDTRIP,
         "audio_features": _FIXTURE_SQL.SQL_AUDIO_FEATURES,
         "video_frames": _FIXTURE_SQL.SQL_VIDEO_FRAMES,
         "fingerprints": _SQL_FINGERPRINTS,
