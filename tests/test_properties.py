@@ -173,3 +173,89 @@ def test_runset_cut_property(rows, wave_k, n_runs):
     wave_np, deferred_np = wave_select_arrow(frontier, wave_k, 10**9)
     assert wave_rs.column("url_hash").to_pylist() == wave_np.column("url_hash").to_pylist()
     assert leftover.count == deferred_np.num_rows
+
+
+@given(
+    st.text(alphabet="abcde", max_size=12),
+    st.text(alphabet="abcde", max_size=12),
+    st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=200, deadline=None)
+def test_banded_levenshtein_matches_full_dp(a, b, d):
+    from spider_ray.pipelines.dedup import _lev_le
+
+    # reference full DP
+    la, lb = len(a), len(b)
+    dp = [[0] * (lb + 1) for _ in range(la + 1)]
+    for i in range(la + 1):
+        dp[i][0] = i
+    for j in range(lb + 1):
+        dp[0][j] = j
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            dp[i][j] = min(
+                dp[i - 1][j] + 1,
+                dp[i][j - 1] + 1,
+                dp[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+            )
+    full = dp[la][lb]
+    got = _lev_le(a, b, d)
+    if full <= d:
+        assert got == full
+    else:
+        assert got == d + 1
+
+
+@given(st.text(alphabet="ab", max_size=10), st.integers(min_value=1, max_value=2))
+@settings(max_examples=150, deadline=None)
+def test_deletion_neighborhood_complete(s, d):
+    """Any two strings within Levenshtein d share a <=d-deletion variant
+    — verified in one direction: every string t obtained by one
+    edit of s shares a variant with s (the blocking-completeness lemma
+    instance the candidate generator relies on)."""
+    from spider_ray.pipelines.dedup import _del_variants
+
+    vs = _del_variants(s, d)
+    edits = set()
+    for i in range(len(s)):
+        edits.add(s[:i] + s[i + 1 :])  # deletion
+        for c in "ab":
+            edits.add(s[:i] + c + s[i + 1 :])  # substitution
+    for i in range(len(s) + 1):
+        for c in "ab":
+            edits.add(s[:i] + c + s[i:])  # insertion
+    for t in edits:
+        assert vs & _del_variants(t, d), (s, t)
+
+
+@given(st.lists(st.integers(min_value=-10**6, max_value=10**6), max_size=40))
+@settings(max_examples=100, deadline=None)
+def test_md5_prefix_mod_matches_per_value(values):
+    import hashlib
+
+    from spider_ray.pipelines.events import md5_prefix_mod
+
+    got = md5_prefix_mod(values, 2, 97).tolist()
+    exp = [
+        int(hashlib.md5(str(v).encode()).hexdigest()[:4], 16) % 97
+        for v in values
+    ]
+    assert got == exp
+
+
+@given(
+    st.lists(
+        st.tuples(st.text(alphabet="xy", min_size=1, max_size=4),
+                  st.integers(min_value=1, max_value=5)),
+        min_size=1, max_size=8,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_bpe_encode_word_reconstructs(words_freqs):
+    """encode_word output always concatenates back to word + '</w>'."""
+    from spider_ray.pipelines.bpe import encode_word
+
+    ranks = {("x", "y"): 0, ("xy", "</w>"): 1, ("x", "x"): 2}
+    for w, _ in words_freqs:
+        enc = encode_word(w, ranks)
+        assert "".join(enc) == w + "</w>"
