@@ -673,20 +673,32 @@ def wave_select_arrow(
             frontier.take(pa.array(wave_idx)),
             frontier.take(pa.array(deferred_idx)),
         )
-    hosts = np.asarray(frontier.column("host").to_pylist(), dtype=object)[order]
-    # rank of each row within its host, in wave order
-    import collections
+    # vectorized host-cap: a row is taken iff its within-host sequential
+    # rank (in wave order) < cap, and it is among the first wave_k such
+    # rows — identical to the sequential scan (skips never increment the
+    # host count, so taken-count == min(prior host rows, cap)).
+    # Arrow dictionary-encode gives integer host codes with no Python
+    # string materialization (was an O(frontier) dict-counting loop).
+    import pyarrow.compute as pc
 
-    counts: dict = collections.defaultdict(int)
-    take = np.zeros(len(order), dtype=bool)
-    budget = wave_k
-    for pos, h in enumerate(hosts):
-        if budget == 0:
-            break
-        if counts[h] < max_per_host:
-            counts[h] += 1
-            take[pos] = True
-            budget -= 1
+    codes_all = (
+        pc.dictionary_encode(frontier.column("host").combine_chunks())
+        .indices.to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    codes = codes_all[order]
+    m = len(codes)
+    order2 = np.argsort(codes, kind="stable")  # stable keeps wave order
+    g = codes[order2]
+    new_seg = np.empty(m, dtype=bool)
+    new_seg[0] = True
+    new_seg[1:] = g[1:] != g[:-1]
+    seg_start = np.maximum.accumulate(np.where(new_seg, np.arange(m), 0))
+    rank = np.empty(m, dtype=np.int64)
+    rank[order2] = np.arange(m) - seg_start
+    eligible = np.flatnonzero(rank < max_per_host)
+    take = np.zeros(m, dtype=bool)
+    take[eligible[:wave_k]] = True
     wave_idx = order[take]
     deferred_idx = order[~take]
     return frontier.take(pa.array(wave_idx)), frontier.take(pa.array(deferred_idx))

@@ -93,3 +93,50 @@ def test_wave_budget_and_cap_respected():
     hashes = wave.column("url_hash").to_pylist()
     keys = list(zip([-p for p in prio], hashes))
     assert keys == sorted(keys)
+
+
+def test_host_cap_vectorized_matches_sequential_reference():
+    """The vectorized host-cap cut equals the sequential scan it
+    replaced: walk rows in wave order, take while host count < cap and
+    budget remains."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+
+    from spider_ray.pipelines.crawl import wave_select_arrow
+
+    rng = np.random.default_rng(17)
+    n = 500
+    frontier = pa.table(
+        {
+            "url": [f"u{i}" for i in range(n)],
+            "url_hash": pa.array(
+                rng.integers(0, 2**63 - 1, n, dtype=np.int64), pa.int64()
+            ),
+            "host": pa.array([f"h{int(h)}" for h in rng.integers(0, 7, n)]),
+            "priority": pa.array(
+                rng.integers(0, 1000, n).astype(np.float64) / 1000.0
+            ),
+        }
+    )
+    for wave_k, cap in [(50, 3), (200, 10), (500, 2), (10, 1)]:
+        wave, deferred = wave_select_arrow(frontier, wave_k, cap)
+        # reference sequential scan over the same total order
+        prio = frontier.column("priority").to_numpy()
+        hashes = frontier.column("url_hash").to_numpy().astype(np.uint64)
+        order = np.lexsort((hashes, -prio))
+        hosts = frontier.column("host").to_pylist()
+        counts = collections.defaultdict(int)
+        take = []
+        budget = wave_k
+        for pos in order:
+            if budget == 0:
+                break
+            if counts[hosts[pos]] < cap:
+                counts[hosts[pos]] += 1
+                take.append(pos)
+                budget -= 1
+        expected = [frontier.column("url")[i].as_py() for i in take]
+        assert wave.column("url").to_pylist() == expected, (wave_k, cap)
+        assert wave.num_rows + deferred.num_rows == n
