@@ -234,22 +234,38 @@ def minhash_band_rows(
         if len(raw) < k:
             raw = raw + b"\0" * (k - len(raw))  # shingle_hashes pad rule
         enc.append(raw)
-    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n_docs)
-    offs = np.concatenate([[0], np.cumsum(lens)])
-    data = np.frombuffer(b"".join(enc), dtype=np.uint8)
     pw = [1]
     for _ in range(k - 1):
         pw.append((pw[-1] * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF)
     powers = np.array(pw[::-1], dtype=np.uint64)
-    windows = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
-    hashed_all = _mix64(windows @ powers)
-    # valid window starts: fully inside one doc
-    n_sh = lens - k + 1
-    valid = np.concatenate(
-        [np.arange(offs[j], offs[j] + n_sh[j]) for j in range(n_docs)]
-    )
-    starts = np.concatenate([[0], np.cumsum(n_sh)[:-1]])
-    sigs = hasher.signatures_batch(hashed_all[valid], starts)  # (n_docs, P)
+
+    # sub-batch by a byte budget: the sliding-window matrix is k·8 bytes
+    # per text byte (~40×), so an uncapped concat of a large-doc block
+    # would balloon; per-doc signature values are independent of the
+    # segmentation (pinned by the chunk-invariance test)
+    BYTE_BUDGET = 4 << 20
+    sig_parts: list[np.ndarray] = []
+    seg_start = 0
+    while seg_start < n_docs:
+        seg_end, total = seg_start, 0
+        while seg_end < n_docs and (total == 0 or total + len(enc[seg_end]) <= BYTE_BUDGET):
+            total += len(enc[seg_end])
+            seg_end += 1
+        seg = enc[seg_start:seg_end]
+        lens = np.fromiter((len(e) for e in seg), dtype=np.int64, count=len(seg))
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        data = np.frombuffer(b"".join(seg), dtype=np.uint8)
+        windows = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+        hashed_all = _mix64(windows @ powers)
+        # valid window starts: fully inside one doc
+        n_sh = lens - k + 1
+        valid = np.concatenate(
+            [np.arange(offs[j], offs[j] + n_sh[j]) for j in range(len(seg))]
+        )
+        starts = np.concatenate([[0], np.cumsum(n_sh)[:-1]])
+        sig_parts.append(hasher.signatures_batch(hashed_all[valid], starts))
+        seg_start = seg_end
+    sigs = np.vstack(sig_parts)  # (n_docs, P)
     bnd = sigs.reshape(n_docs, bands, rows_per_band)
     h = np.full((n_docs, bands), 0xCBF29CE484222325, dtype=np.uint64)
     for r in range(rows_per_band):

