@@ -270,6 +270,8 @@ def triangle_count(edges_ds, n_buckets: int = 64):
         .map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
         .materialize()
     )
+    if und.count() < 3:  # < 3 undirected edges can't close a triangle;
+        return 0  # also guards the empty-Dataset schema (None) join path
 
     def endpoints(batch: pa.Table) -> pa.Table:
         return pa.table(

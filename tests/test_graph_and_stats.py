@@ -254,3 +254,17 @@ def test_triangle_count_rejects_wide_ids(ray_session):
     )
     with _pytest.raises(Exception, match="2\\^32"):
         triangle_count(ds)
+
+
+def test_triangle_count_degenerate_inputs(ray_session):
+    import pandas as pd
+
+    from spider_ray.pipelines.graph import triangle_count
+
+    assert triangle_count(
+        ray.data.from_pandas(pd.DataFrame({"src": [1], "dst": [2]}))
+    ) == 0
+    # self-loops only -> empty undirected set (empty-schema guard)
+    assert triangle_count(
+        ray.data.from_pandas(pd.DataFrame({"src": [3, 4], "dst": [3, 4]}))
+    ) == 0
