@@ -4406,8 +4406,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": _q_split_assign,
         "weighted_mixture": _q_weighted_mixture,
         "image_training_table": _q_image_training_table,
-        # ---- below the 50-cut: r3-late additions (never driver-evaluated;
-        #      local DuckDB parity green; r4 window rotation picks them up)
+        # ---- top-50 window ends here (50 entries above) -------------------
+        # r3-late additions (never driver-evaluated; local DuckDB parity
+        # green; r4 window rotation picks them up)
         "value_hour_corr": _q_value_hour_corr,
         "events_percent_rank": _q_events_percent_rank,
         "edit_distance_pairs": _q_edit_distance_pairs,
@@ -4417,7 +4418,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_global_sort": _q_events_global_sort,
         "props_key_agg": _q_props_key_agg,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
-        # ---- top-50 window ends here (50 entries above) -------------------
         # rollup_lineitem yields its window slot to dup_window_stats: the
         # grouping-sets machinery it exercises is identically covered by
         # the in-window cube_lineitem (cube is a strict superset of the

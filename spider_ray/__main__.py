@@ -102,6 +102,8 @@ def _cmd_query(args: argparse.Namespace) -> int:
     if num_rows is None:  # Dataset / DataFrame
         num_rows = result.count() if hasattr(result, "count") else len(result)
     schema = getattr(result, "schema", None)
+    if callable(schema):  # Ray Dataset: schema is a method
+        schema = schema()
     names = list(schema.names) if schema is not None else []
     print(json.dumps({"query": args.name, "rows": int(num_rows), "columns": names}))
     return 0

@@ -226,11 +226,7 @@ def _block_mean_resize(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 def phash64(pixels: np.ndarray) -> int:
     """8×8 average-hash of the grayscale image → signed int64 (Arrow-ready)."""
     small = _block_mean_resize(to_gray(pixels), 8, 8)
-    bits = (small > small.mean()).astype(np.uint64).ravel()
-    value = np.uint64(0)
-    for b in bits:
-        value = (value << np.uint64(1)) | b
-    return int(np.int64(value))
+    return _pack_bits64((small > small.mean()).ravel())
 
 
 def _pack_bits64(bits: np.ndarray) -> int:

@@ -28,7 +28,9 @@ def extract_int(col: pa.ChunkedArray | pa.Array, key: str) -> pa.Array:
     pat = rf'"{key}"\s*:\s*(?P<v>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)'
     m = pc.extract_regex(col, pattern=pat)
     vals = pc.struct_field(m, "v")
-    is_int = pc.match_substring_regex(vals, r"^-?\d+$")
+    # ≤18 digits always fits int64; 19+ may overflow and pc.cast would
+    # RAISE on one bad row — null it instead (strict mode may repair)
+    is_int = pc.match_substring_regex(vals, r"^-?\d{1,18}$")
     vals = pc.if_else(pc.fill_null(is_int, False), vals, pa.scalar(None, pa.string()))
     return pc.cast(vals, pa.int64())
 
@@ -65,7 +67,20 @@ def with_json_int(
                         v = json.loads(raw[i]).get(key)
                     except (TypeError, ValueError):
                         v = None
-                    fixed[i] = int(v) if isinstance(v, (int, float)) else None
+                    # bool is an int subclass — a JSON true is NOT the
+                    # integer 1 here; floats only when integral; clamp to
+                    # the int64 range (pa.array raises otherwise)
+                    if isinstance(v, bool):
+                        out = None
+                    elif isinstance(v, int):
+                        out = v
+                    elif isinstance(v, float) and v.is_integer():
+                        out = int(v)
+                    else:
+                        out = None
+                    if out is not None and not (-(1 << 63) <= out < (1 << 63)):
+                        out = None
+                    fixed[i] = out
                 vals = pa.array(fixed, pa.int64())
         return batch.append_column(out_col, vals)
 

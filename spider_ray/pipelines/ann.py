@@ -408,7 +408,9 @@ def pq_train(
                 }
             )
 
-        sub = train.map_batches(project, batch_format="pyarrow")
+        # materialize: kmeans_fit runs n_iter passes over `sub` — lazy,
+        # the full-vector stack+normalize would re-execute every pass
+        sub = train.map_batches(project, batch_format="pyarrow").materialize()
         centroids, _ = kmeans_fit(
             sub, k=n_codes, n_iter=n_iter, vec_col=vec_col, id_col=id_col
         )
@@ -479,6 +481,8 @@ def pq_topk(
     ref = ray.put((lut, qids))
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:  # empty block: np.stack([]) raises
+            return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []})
         lut_, qi = ray.get(ref)
         codes = np.stack(batch["pq_code"].to_numpy()).astype(np.int64)  # (nb, m)
         ids = batch[id_col].to_numpy()
@@ -578,6 +582,8 @@ class IvfPqIndex:
         ref = ray.put((lut, center_sims, probe_cells, qids))
 
         def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            if len(batch) == 0:  # empty block: np.stack([]) raises
+                return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []})
             lut_, csims, probes, qi = ray.get(ref)
             codes = np.stack(batch["pq_code"].to_numpy()).astype(np.int64)
             cells = batch["cell"].to_numpy()

@@ -266,7 +266,9 @@ def minhash_band_rows(
         sig_parts.append(hasher.signatures_batch(hashed_all[valid], starts))
         seg_start = seg_end
     sigs = np.vstack(sig_parts)  # (n_docs, P)
-    bnd = sigs.reshape(n_docs, bands, rows_per_band)
+    # tolerate bands ∤ num_perm like the per-doc path did: trailing
+    # permutations beyond bands*rows_per_band are ignored
+    bnd = sigs[:, : bands * rows_per_band].reshape(n_docs, bands, rows_per_band)
     h = np.full((n_docs, bands), 0xCBF29CE484222325, dtype=np.uint64)
     for r in range(rows_per_band):
         h = _mix64(h ^ bnd[:, :, r])

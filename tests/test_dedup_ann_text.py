@@ -610,7 +610,12 @@ def test_edit_distance_pairs_bucketed_join_path(ray_session):
     assert (0, 2, 1) in got  # insertion
     assert (0, 3, 1) in got  # deletion
     assert (4, 5, 1) in got  # insertion mid-word
-    assert not any(a == 6 or b == 6 for a, b, _ in got if 7 not in (a, b)) or True
+    # the empty string (id 6) is within distance 1 only of 1-char strings:
+    # its sole pair is with "x" (id 7)
+    assert (6, 7, 1) in got
+    assert not any(
+        (a == 6 or b == 6) and {a, b} != {6, 7} for a, b, _ in got
+    )
 
 
 def test_edit_distance_pairs_empty_and_d2(ray_session):
