@@ -146,6 +146,7 @@ def run_bench() -> dict:
         "image_decode_stats",
         "audio_features",
         "video_frames",
+        "triangle_count",
     )
     for name in query_names:
         fn = entrymod.queries()[name]
