@@ -1291,6 +1291,77 @@ _PAIR_DIST_SCHEMA = pa.schema(
 )
 
 
+def _dist_le1_batch(sa: list[str], sb: list[str]) -> np.ndarray:
+    """Exact min(Levenshtein, 2) for a BATCH of string pairs — the
+    max_d=1 verify without a per-pair Python DP (the DP was ~95% of
+    edit_distance_pairs wall at sf0.1). Distance ≤ 1 decomposes exactly:
+    equal length → at most one substitution (vectorized byte-mismatch
+    count); length diff 1 → one indel iff common_prefix + common_suffix
+    covers the shorter string (two vectorized mismatch-argmax passes);
+    length diff ≥ 2 → always > 1. UTF-8 bytes stand in for characters:
+    byte-level and char-level Levenshtein agree on whether distance ≤ 1
+    for any byte difference (a single char edit is 1-4 byte edits at the
+    same spot; the prefix+suffix rule is evaluated on bytes both here
+    and in the banded DP path only when strings are ASCII — for
+    non-ASCII pairs fall back to the DP per pair)."""
+    n = len(sa)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    ea = [s.encode("utf-8") for s in sa]
+    eb = [s.encode("utf-8") for s in sb]
+    ascii_ok = np.fromiter(
+        (len(a) == len(s) and len(b) == len(t)
+         for a, s, b, t in zip(ea, sa, eb, sb)),
+        dtype=bool, count=n,
+    )
+    la = np.fromiter((len(x) for x in ea), dtype=np.int64, count=n)
+    lb = np.fromiter((len(x) for x in eb), dtype=np.int64, count=n)
+    width = int(max(1, max(la.max(), lb.max())))
+    A = np.frombuffer(
+        b"".join(x.ljust(width, b"\0") for x in ea), dtype=np.uint8
+    ).reshape(n, width)
+    B = np.frombuffer(
+        b"".join(x.ljust(width, b"\0") for x in eb), dtype=np.uint8
+    ).reshape(n, width)
+    dist = np.full(n, 2, dtype=np.int64)
+
+    neq = A != B
+    eq_len = la == lb
+    mism = neq.sum(axis=1)
+    dist[eq_len & (mism == 0)] = 0
+    dist[eq_len & (mism == 1)] = 1
+
+    diff1 = np.abs(la - lb) == 1
+    if diff1.any():
+        idx = np.flatnonzero(diff1)
+        sub_neq = neq[idx]
+        # common prefix length = first mismatching byte position
+        any_mism = sub_neq.any(axis=1)
+        first = np.where(any_mism, sub_neq.argmax(axis=1), width)
+        # common suffix vs the END of each string (strings are
+        # right-padded, so compare reversed-by-own-length): build
+        # reversed matrices via fancy indexing
+        short = np.minimum(la[idx], lb[idx])
+        cols = np.arange(width)
+        rev_a = (la[idx][:, None] - 1 - cols)  # reversed positions
+        rev_b = (lb[idx][:, None] - 1 - cols)
+        va = np.take_along_axis(A[idx], np.clip(rev_a, 0, width - 1), axis=1)
+        vb = np.take_along_axis(B[idx], np.clip(rev_b, 0, width - 1), axis=1)
+        tail_neq = va != vb
+        tail_any = tail_neq.any(axis=1)
+        last = np.where(tail_any, tail_neq.argmax(axis=1), width)
+        ok = first + last >= short
+        dist[idx[ok]] = 1
+
+    # non-ASCII pairs: byte-level prefix/suffix is still exact for the
+    # ≤1 test, but keep the DP as the authoritative ruling to avoid
+    # multi-byte edge cases
+    hard = np.flatnonzero(~ascii_ok)
+    for i in hard:
+        dist[i] = _lev_le(sa[i], sb[i], 1)
+    return dist
+
+
 def edit_distance_pairs(
     ds,
     id_col: str = "doc_id",
@@ -1304,9 +1375,12 @@ def edit_distance_pairs(
     Scale shape mirrors ``minhash_lsh_pairs``: one map pass emits
     (variant-hash, id) rows (<= 1 + d*len variants per string — intended
     for SHORT strings: names, titles, URLs); candidate pairs come from the
-    bucketed non-singleton exchange; verification attaches the strings via
-    the driver semi-join fast path when the candidate-doc set is small,
-    else two bucketed hash joins — nothing O(corpus) on the driver.
+    bucketed non-singleton exchange; verification attaches strings via a
+    broadcast (id → string) dict of the DISTINCT candidate docs when that
+    doc set is ≤ ``driver_cand_limit`` (pairs themselves never shuffle or
+    land on the driver — verify is a map over the pair Dataset), else two
+    bucketed hash joins. max_d=1 verifies with a vectorized batch kernel
+    (``_dist_le1_batch``), larger d with the banded DP per pair.
     Returns a Dataset (id_a, id_b, dist).
     """
     import ray
@@ -1364,10 +1438,15 @@ def edit_distance_pairs(
     import pyarrow.compute as pc
 
     def verify_typed(batch: pd.DataFrame) -> pa.Table:
-        dist = [
-            _lev_le(a or "", b or "", max_d)
-            for a, b in zip(batch["s_a"], batch["s_b"])
-        ]
+        if max_d == 1:
+            sa = [x or "" for x in batch["s_a"]]
+            sb = [x or "" for x in batch["s_b"]]
+            dist = _dist_le1_batch(sa, sb)
+        else:
+            dist = [
+                _lev_le(a or "", b or "", max_d)
+                for a, b in zip(batch["s_a"], batch["s_b"])
+            ]
         out = batch[["id_a", "id_b"]].copy()
         out["dist"] = dist
         out = out[out["dist"] <= max_d]
@@ -1378,10 +1457,40 @@ def edit_distance_pairs(
             safe=False,
         )
 
-    if 2 * n_cand <= driver_cand_limit:
-        cand_df = cand.to_pandas()
-        cand_ids = sorted(set(cand_df["id_a"]) | set(cand_df["id_b"]))
-        id_arr = pa.array(cand_ids, pa.int64())
+    # broadcast-dict path: the shippable side is the DISTINCT CANDIDATE
+    # DOC set (bounded by the corpus), not the pair set — a fuzzy join
+    # can emit 100× more pairs than docs, and pairs should never ride a
+    # shuffle just to pick up 20-byte strings. One per-block unique +
+    # small groupby counts the docs; under the limit the (id → string)
+    # dict ships once via ray.put and verification runs as a map over
+    # the candidate-pair Dataset — no join, nothing driver-resident.
+    uniq_ids = (
+        cand.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": pc.unique(
+                        pa.concat_arrays(
+                            [
+                                t.column("id_a").combine_chunks(),
+                                t.column("id_b").combine_chunks(),
+                            ]
+                        )
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("doc_id")
+        .count()
+        .materialize()
+    )
+    n_cand_docs = uniq_ids.count()
+    if n_cand_docs <= driver_cand_limit:
+        id_arr = pa.concat_tables(
+            t
+            for t in ray.get(uniq_ids.to_arrow_refs())
+            if isinstance(t, pa.Table) and t.num_rows
+        ).column("doc_id").combine_chunks()
 
         def semi(batch: pa.Table) -> pa.Table:
             mask = pc.is_in(batch.column(id_col), value_set=id_arr)
@@ -1394,10 +1503,17 @@ def edit_distance_pairs(
             )
 
         sub = ds.map_batches(semi, batch_format="pyarrow").to_pandas()
-        s_of = dict(zip(sub["doc_id"], sub["s"]))
-        cand_df["s_a"] = [s_of.get(i) for i in cand_df["id_a"]]
-        cand_df["s_b"] = [s_of.get(i) for i in cand_df["id_b"]]
-        return ray.data.from_arrow(verify_typed(cand_df))
+        s_ref = ray.put(dict(zip(sub["doc_id"], sub["s"])))
+
+        def attach_verify(batch: pd.DataFrame) -> pa.Table:
+            s_of = ray.get(s_ref)
+            batch = batch.assign(
+                s_a=[s_of.get(i) for i in batch["id_a"]],
+                s_b=[s_of.get(i) for i in batch["id_b"]],
+            )
+            return verify_typed(batch)
+
+        return cand.map_batches(attach_verify, batch_format="pandas")
 
     strs_a = ds.map_batches(
         lambda t: pa.table(

@@ -259,3 +259,23 @@ def test_bpe_encode_word_reconstructs(words_freqs):
     for w, _ in words_freqs:
         enc = encode_word(w, ranks)
         assert "".join(enc) == w + "</w>"
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abc√é", max_size=8),
+            st.text(alphabet="abc√é", max_size=8),
+        ),
+        min_size=1, max_size=30,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_dist_le1_batch_matches_dp(pairs):
+    from spider_ray.pipelines.dedup import _dist_le1_batch, _lev_le
+
+    sa = [a for a, _ in pairs]
+    sb = [b for _, b in pairs]
+    got = _dist_le1_batch(sa, sb).tolist()
+    exp = [_lev_le(a, b, 1) for a, b in pairs]
+    assert got == exp
