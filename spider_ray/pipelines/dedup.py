@@ -204,6 +204,7 @@ def minhash_band_rows(
     text_col: str = "text",
     bands: int = 16,
     shingle_k: int = 5,
+    byte_budget: int = 192 << 10,
 ) -> pa.Table:
     """Per-doc minhash → (band_id, band_hash, doc_id) rows for the LSH
     groupby, fully batched across the block: shingle hashing is ONE
@@ -243,7 +244,7 @@ def minhash_band_rows(
     # per text byte (~40×), so an uncapped concat of a large-doc block
     # would balloon; per-doc signature values are independent of the
     # segmentation (pinned by the chunk-invariance test)
-    BYTE_BUDGET = 4 << 20
+    BYTE_BUDGET = byte_budget
     sig_parts: list[np.ndarray] = []
     seg_start = 0
     while seg_start < n_docs:
