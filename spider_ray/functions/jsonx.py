@@ -28,11 +28,25 @@ def extract_int(col: pa.ChunkedArray | pa.Array, key: str) -> pa.Array:
     pat = rf'"{key}"\s*:\s*(?P<v>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)'
     m = pc.extract_regex(col, pattern=pat)
     vals = pc.struct_field(m, "v")
-    # ≤18 digits always fits int64; 19+ may overflow and pc.cast would
-    # RAISE on one bad row — null it instead (strict mode may repair)
-    is_int = pc.match_substring_regex(vals, r"^-?\d{1,18}$")
-    vals = pc.if_else(pc.fill_null(is_int, False), vals, pa.scalar(None, pa.string()))
-    return pc.cast(vals, pa.int64())
+    # ≤18 digits always fits int64 — cast directly; 19-digit values
+    # (every nanosecond epoch since 2001) MOSTLY fit but straddle the
+    # int64 boundary, so parse that rare subset in Python with a bounds
+    # check rather than nulling it or letting pc.cast raise mid-pipeline
+    is_short = pc.match_substring_regex(vals, r"^-?\d{1,18}$")
+    is_long = pc.match_substring_regex(vals, r"^-?\d{19}$")
+    short = pc.if_else(
+        pc.fill_null(is_short, False), vals, pa.scalar(None, pa.string())
+    )
+    out = pc.cast(short, pa.int64())
+    long_mask = pc.fill_null(is_long, False).to_numpy(zero_copy_only=False)
+    if long_mask.any():
+        raw = vals.to_pylist()
+        fixed = out.to_pylist()
+        for i in np.flatnonzero(long_mask):
+            v = int(raw[i])
+            fixed[i] = v if -(1 << 63) <= v < (1 << 63) else None
+        out = pa.array(fixed, pa.int64())
+    return out
 
 
 def extract_str(col: pa.ChunkedArray | pa.Array, key: str) -> pa.Array:

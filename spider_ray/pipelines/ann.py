@@ -26,6 +26,18 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
 
 
+def _EMPTY_TOPK_FRAME() -> pd.DataFrame:
+    """Typed empty partial — object-dtype empties would infer pa.null()
+    columns in the final table and break the int64/float64 contract."""
+    return pd.DataFrame(
+        {
+            "query_id": pd.Series(dtype="int64"),
+            "vec_id": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+        }
+    )
+
+
 def _merge_partials(parts: list[pd.DataFrame], k: int) -> pa.Table:
     merged = pd.concat(parts, ignore_index=True)
     merged = merged.sort_values(
@@ -481,8 +493,8 @@ def pq_topk(
     ref = ray.put((lut, qids))
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        if len(batch) == 0:  # empty block: np.stack([]) raises
-            return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []})
+        if len(batch) == 0:  # empty block: np.stack([]) raises; keep the
+            return _EMPTY_TOPK_FRAME()  # int64/float64 output contract
         lut_, qi = ray.get(ref)
         codes = np.stack(batch["pq_code"].to_numpy()).astype(np.int64)  # (nb, m)
         ids = batch[id_col].to_numpy()
@@ -582,8 +594,8 @@ class IvfPqIndex:
         ref = ray.put((lut, center_sims, probe_cells, qids))
 
         def partial(batch: pd.DataFrame) -> pd.DataFrame:
-            if len(batch) == 0:  # empty block: np.stack([]) raises
-                return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []})
+            if len(batch) == 0:  # empty block: np.stack([]) raises; keep
+                return _EMPTY_TOPK_FRAME()  # the typed output contract
             lut_, csims, probes, qi = ray.get(ref)
             codes = np.stack(batch["pq_code"].to_numpy()).astype(np.int64)
             cells = batch["cell"].to_numpy()

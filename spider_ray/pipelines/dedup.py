@@ -217,6 +217,11 @@ def minhash_band_rows(
     ~2^-64 band-key collision could differ from hashing per doc, and the
     true-Jaccard verify stage filters those)."""
     rows_per_band = hasher.num_perm // bands
+    if rows_per_band < 1:
+        raise ValueError(
+            f"bands={bands} > num_perm={hasher.num_perm}: every band hash "
+            "would degenerate to the same constant"
+        )
     ids = batch.column(id_col).to_pylist()
     texts = batch.column(text_col).to_pylist()
     n_docs = len(ids)
@@ -1310,11 +1315,22 @@ def _dist_le1_batch(sa: list[str], sb: list[str]) -> np.ndarray:
         return np.empty(0, dtype=np.int64)
     ea = [s.encode("utf-8") for s in sa]
     eb = [s.encode("utf-8") for s in sb]
+    # pad width is batch-global: one long outlier string would inflate
+    # every pair's row to its length (O(pairs × max_len) matrices), so
+    # long pairs take the per-pair DP instead (the operator is for short
+    # keys; long strings are the rare tail)
+    WIDTH_CAP = 256
+    long_pair = np.fromiter(
+        (len(a) > WIDTH_CAP or len(b) > WIDTH_CAP for a, b in zip(ea, eb)),
+        dtype=bool, count=n,
+    )
     ascii_ok = np.fromiter(
         (len(a) == len(s) and len(b) == len(t)
          for a, s, b, t in zip(ea, sa, eb, sb)),
         dtype=bool, count=n,
-    )
+    ) & ~long_pair
+    ea = [x[:WIDTH_CAP] for x in ea]
+    eb = [x[:WIDTH_CAP] for x in eb]
     la = np.fromiter((len(x) for x in ea), dtype=np.int64, count=n)
     lb = np.fromiter((len(x) for x in eb), dtype=np.int64, count=n)
     width = int(max(1, max(la.max(), lb.max())))
@@ -1465,7 +1481,7 @@ def edit_distance_pairs(
     # small groupby counts the docs; under the limit the (id → string)
     # dict ships once via ray.put and verification runs as a map over
     # the candidate-pair Dataset — no join, nothing driver-resident.
-    uniq_ids = (
+    uniq_ids = _distinct_rows(
         cand.map_batches(
             lambda t: pa.table(
                 {
@@ -1480,11 +1496,9 @@ def edit_distance_pairs(
                 }
             ),
             batch_format="pyarrow",
-        )
-        .groupby("doc_id")
-        .count()
-        .materialize()
-    )
+        ),
+        ["doc_id"],
+    ).materialize()
     n_cand_docs = uniq_ids.count()
     if n_cand_docs <= driver_cand_limit:
         id_arr = pa.concat_tables(
