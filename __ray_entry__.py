@@ -57,8 +57,10 @@ def _ctx():
     ctx.enable_progress_bars = False
 
 
-def _read(sf_dir: str, name: str, columns=None):
-    """Column-pruned parquet read with byte-sized parallelism.
+def _read(sf_dir: str, name: str, columns=None, row_filter=None):
+    """Column- and row-pruned parquet read with byte-sized parallelism.
+    ``row_filter`` (a pyarrow dataset expression) pushes down to parquet
+    row groups — non-matching groups never leave storage.
 
     Ray's default parallelism heuristic floors at ~2×CPUs blocks, so a
     kilobyte-scale table fans into 64 near-empty blocks and every
@@ -68,12 +70,13 @@ def _read(sf_dir: str, name: str, columns=None):
     left to Ray, so this changes nothing at 100 TB."""
     path = f"{sf_dir}/{name}.parquet"
     nbytes = os.path.getsize(path)
+    extra = {"filter": row_filter} if row_filter is not None else {}
     small_blocks = max(1, -(-nbytes // (512 << 10)))  # ceil-div by 512 KiB
     if small_blocks < 2 * (os.cpu_count() or 32):
         return ray.data.read_parquet(
-            path, columns=columns, override_num_blocks=small_blocks
+            path, columns=columns, override_num_blocks=small_blocks, **extra
         )
-    return ray.data.read_parquet(path, columns=columns)
+    return ray.data.read_parquet(path, columns=columns, **extra)
 
 
 def _doc_ids_ds(sf_dir: str):
@@ -1381,6 +1384,60 @@ SELECT event_id, event_type,
 FROM events
 WINDOW w AS (PARTITION BY event_type ORDER BY value)
 ORDER BY event_id
+"""
+
+
+def _q_pushdown_click_agg(sf_dir: str) -> pa.Table:
+    """Predicate-pushdown scan: the event_type = 'click' filter rides the
+    parquet reader as a pyarrow dataset expression (``_read(row_filter=)``)
+    so non-matching row groups never leave storage — the prune-at-the-read
+    contract — then per-hour count + integer value sum."""
+    _ctx()
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from spider_ray.pipelines.relational import preagg_sum
+
+    ev = _read(
+        sf_dir,
+        "events",
+        columns=["ts", "value", "event_type"],
+        row_filter=(pads.field("event_type") == "click"),
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "hour": pa.array((us // 3_600_000_000) % 24, pa.int64()),
+                "value_q": pa.array(
+                    np.floor(v * 100 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    agg = _collect(
+        preagg_sum(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            ["hour"], ["value_q"], count_alias="n",
+        )
+    ).to_pandas().sort_values("hour")
+    return pa.table(
+        {
+            "hour": pa.array(agg["hour"].astype("int64"), pa.int64()),
+            "n": pa.array(agg["n"].astype("int64"), pa.int64()),
+            "sum_q": pa.array(agg["value_q"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+_SQL_PUSHDOWN_CLICK_AGG = """
+SELECT (epoch_us(ts) // 3600000000) % 24 AS hour,
+       count(*)::BIGINT AS n,
+       sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))::BIGINT AS sum_q
+FROM events WHERE event_type = 'click'
+GROUP BY 1 ORDER BY hour
 """
 
 
@@ -4418,6 +4475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_global_sort": _q_events_global_sort,
         "props_key_agg": _q_props_key_agg,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "pushdown_click_agg": _q_pushdown_click_agg,
         # rollup_lineitem yields its window slot to dup_window_stats: the
         # grouping-sets machinery it exercises is identically covered by
         # the in-window cube_lineitem (cube is a strict superset of the
@@ -4560,6 +4618,7 @@ def oracle_sql() -> dict[str, str]:
         "events_global_sort": _SQL_EVENTS_GLOBAL_SORT,
         "props_key_agg": _SQL_PROPS_KEY_AGG,
         "jsonl_roundtrip": _SQL_JSONL_ROUNDTRIP,
+        "pushdown_click_agg": _SQL_PUSHDOWN_CLICK_AGG,
         "audio_features": _FIXTURE_SQL.SQL_AUDIO_FEATURES,
         "video_frames": _FIXTURE_SQL.SQL_VIDEO_FRAMES,
         "fingerprints": _SQL_FINGERPRINTS,
