@@ -150,3 +150,28 @@ def test_jsonx_fast_and_strict_paths(ray_session):
     got = [None if pd.isna(v) else int(v) for v in strict["k"]]
     # strict repairs the scientific-notation row, leaves the rest null
     assert got == [87, -3, None, None, None, 100]
+
+
+def test_jsonx_int64_boundary():
+    """19-digit integers parse when they fit int64; only true overflow
+    nulls (every ns epoch since 2001 is 19 digits — must not be lost)."""
+    import pyarrow as pa
+
+    from spider_ray.functions.jsonx import extract_int
+
+    col = pa.chunked_array([pa.array([
+        '{"k": 1650000000000000000}',
+        '{"k": 9223372036854775807}',   # int64 max
+        '{"k": 9223372036854775808}',   # max + 1
+        '{"k": -9223372036854775808}',  # int64 min
+        '{"k": 123456789012345678901234}',
+        '{"k": 5}',
+    ])])
+    assert extract_int(col, "k").to_pylist() == [
+        1650000000000000000,
+        9223372036854775807,
+        None,
+        -9223372036854775808,
+        None,
+        5,
+    ]
