@@ -3016,6 +3016,75 @@ def _q_triangle_count(sf_dir: str) -> pa.Table:
     return pa.table({"triangles": pa.array([triangle_count(edges)], pa.int64())})
 
 
+def _q_clustering_coefficient(sf_dir: str) -> pa.Table:
+    """Global clustering coefficient of the fixture link graph:
+    3·triangles / Σ_v C(deg v, 2), both sides exact integers
+    (graph.global_clustering), one shared double division with the SQL
+    oracle for the ppb quantization."""
+    _ctx()
+    import math
+
+    import numpy as np
+
+    from spider_ray.pipelines.graph import global_clustering
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        dst = np.stack(
+            [(2 * ids + 1) % n, (3 * ids + 7) % n, (5 * ids + 3) % n], axis=1
+        ).reshape(-1)
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    tri, triples = global_clustering(
+        docs.map_batches(to_edges, batch_format="pyarrow")
+    )
+    coeff_ppb = (
+        0 if triples == 0 else int(math.floor(3.0 * tri / triples * 1e9 + 0.5))
+    )
+    return pa.table(
+        {
+            "triangles": pa.array([tri], pa.int64()),
+            "triples": pa.array([triples], pa.int64()),
+            "coeff_ppb": pa.array([coeff_ppb], pa.int64()),
+        }
+    )
+
+
+_SQL_CLUSTERING_COEFF = """
+WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
+raw_edges AS (
+  SELECT d.doc_id AS src, (2*d.doc_id+1) % p.n AS dst FROM documents d, n p
+  UNION ALL SELECT d.doc_id, (3*d.doc_id+7) % p.n FROM documents d, n p
+  UNION ALL SELECT d.doc_id, (5*d.doc_id+3) % p.n FROM documents d, n p
+),
+edges AS (SELECT DISTINCT src, dst FROM raw_edges),
+u AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+deg AS (
+  SELECT node, count(*)::BIGINT AS d
+  FROM (SELECT a AS node FROM u UNION ALL SELECT b AS node FROM u)
+  GROUP BY node
+),
+tri AS (
+  SELECT count(*)::BIGINT AS t
+  FROM u e1 JOIN u e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN u e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+trp AS (SELECT sum(d*(d-1)//2)::BIGINT AS t FROM deg)
+SELECT tri.t AS triangles, trp.t AS triples,
+  CASE WHEN trp.t = 0 THEN 0
+       ELSE CAST(floor(3.0 * tri.t / trp.t * 1e9 + 0.5) AS BIGINT)
+  END AS coeff_ppb
+FROM tri, trp
+"""
+
+
 _SQL_TRIANGLE_COUNT = """
 WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
 -- UNION ALL, not unnest: DuckDB's binder hits an internal error when the
@@ -4476,6 +4545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_key_agg": _q_props_key_agg,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "pushdown_click_agg": _q_pushdown_click_agg,
+        "clustering_coefficient": _q_clustering_coefficient,
         # rollup_lineitem yields its window slot to dup_window_stats: the
         # grouping-sets machinery it exercises is identically covered by
         # the in-window cube_lineitem (cube is a strict superset of the
@@ -4619,6 +4689,7 @@ def oracle_sql() -> dict[str, str]:
         "props_key_agg": _SQL_PROPS_KEY_AGG,
         "jsonl_roundtrip": _SQL_JSONL_ROUNDTRIP,
         "pushdown_click_agg": _SQL_PUSHDOWN_CLICK_AGG,
+        "clustering_coefficient": _SQL_CLUSTERING_COEFF,
         "audio_features": _FIXTURE_SQL.SQL_AUDIO_FEATURES,
         "video_frames": _FIXTURE_SQL.SQL_VIDEO_FRAMES,
         "fingerprints": _SQL_FINGERPRINTS,

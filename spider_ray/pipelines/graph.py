@@ -368,3 +368,53 @@ def triangle_count(edges_ds, n_buckets: int = 64):
 
     closed = semi_anti_join(wedge_ds, edge_keys, on="pk", global_dedupe=False)
     return closed.count()
+
+
+def global_clustering(edges_ds, n_buckets: int = 64) -> tuple[int, int]:
+    """(triangles, connected triples): the global clustering coefficient's
+    exact integer numerator/denominator — 3·triangles / Σ_v C(deg v, 2).
+    One triangle count (degree-ordered, see triangle_count) plus one
+    degree aggregate; the caller does the single final division."""
+    tri = triangle_count(edges_ds, n_buckets=n_buckets)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(s, d), pa.int64()),
+                "b": pa.array(np.maximum(s, d), pa.int64()),
+            }
+        )
+
+    und = (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+    )
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        batch.column("a").combine_chunks().cast(pa.int64()),
+                        batch.column("b").combine_chunks().cast(pa.int64()),
+                    ]
+                )
+            }
+        )
+
+    deg = und.map_batches(endpoints, batch_format="pyarrow").groupby("node").count()
+
+    def triples_partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("count()").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"t": pa.array([int((d * (d - 1) // 2).sum())], pa.int64())}
+        )
+
+    parts = deg.map_batches(triples_partial, batch_format="pyarrow").to_pandas()
+    triples = int(parts["t"].sum()) if len(parts) else 0
+    return tri, triples
