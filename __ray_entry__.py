@@ -2354,6 +2354,45 @@ def _q_image_fingerprints(sf_dir: str) -> pa.Table:
     ).sort_by("image_id")
 
 
+def _q_consensus_neardup(sf_dir: str) -> pa.Table:
+    """2-of-3 perceptual-hash consensus near-dup over the re-encode image
+    set (png vs fake-jpeg of the same pixels): banded pair pass per hash
+    family (phash/dhash/dct_phash), union, one vote-count exchange
+    (pipelines.dedup.consensus_neardup_pairs). Oracle computes all three
+    hamming distances from the frozen fingerprint literals."""
+    _ctx()
+    from spider_ray.functions.imagecodec import (
+        dct_phash64,
+        decode_image,
+        dhash64,
+        encode_image,
+        phash64,
+    )
+    from spider_ray.pipelines.dedup import _to_i64, consensus_neardup_pairs
+    from spider_ray.sources.fixtures import MockWebConfig, image_pixels
+
+    n = min(200, pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows)
+    cfg = MockWebConfig(n_pages=n)
+    rows = []
+    for i in range(0, n, CRAWL_IMG_EVERY):
+        pixels = image_pixels(i, cfg)
+        for fmt in ("png", "jpeg"):
+            px = decode_image(encode_image(pixels, fmt))
+            rows.append(
+                {
+                    "image_id": f"img-{i}-{fmt}",
+                    "phash": _to_i64(phash64(px)),
+                    "dhash": _to_i64(dhash64(px)),
+                    "dct_phash": _to_i64(dct_phash64(px)),
+                }
+            )
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = _collect(
+        consensus_neardup_pairs(ds, ["phash", "dhash", "dct_phash"])
+    )
+    return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
 def _q_aspect_buckets(sf_dir: str) -> pa.Table:
     """SDXL-style aspect-ratio bucketing + fixed-size micro-batch
     assignment (pipelines.train_data.aspect_bucket_batches): nearest
@@ -4540,6 +4579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_distance_pairs": _q_edit_distance_pairs,
         "triangle_count": _q_triangle_count,
         "image_fingerprints": _q_image_fingerprints,
+        "consensus_neardup": _q_consensus_neardup,
         "value_outliers": _q_value_outliers,
         "events_global_sort": _q_events_global_sort,
         "props_key_agg": _q_props_key_agg,
@@ -4684,6 +4724,7 @@ def oracle_sql() -> dict[str, str]:
         "image_decode_stats": _FIXTURE_SQL.SQL_IMAGE_DECODE_STATS,
         "phash_neardup": _FIXTURE_SQL.SQL_PHASH_NEARDUP,
         "image_fingerprints": _FIXTURE_SQL.SQL_IMAGE_FINGERPRINTS,
+        "consensus_neardup": _FIXTURE_SQL.SQL_CONSENSUS_NEARDUP,
         "value_outliers": _SQL_VALUE_OUTLIERS,
         "events_global_sort": _SQL_EVENTS_GLOBAL_SORT,
         "props_key_agg": _SQL_PROPS_KEY_AGG,

@@ -1551,3 +1551,47 @@ def edit_distance_pairs(
         n_buckets=join_buckets,
     )
     return j2.map_batches(verify_typed, batch_format="pandas")
+
+
+def consensus_neardup_pairs(
+    ds,
+    hash_cols: list[str],
+    id_col: str = "image_id",
+    max_hamming: int = 3,
+    min_votes: int = 2,
+):
+    """Near-dup pairs confirmed by ≥ ``min_votes`` of several 64-bit
+    perceptual hashes (e.g. phash + dhash + dct_phash): each hash family
+    fails differently (average-hash flips near the mean under brightness
+    shifts, gradient-hash under local noise, DCT under crops), so a vote
+    cuts both false positives and family-specific misses. One banded
+    pair pass per hash (each already distinct), a union, and one
+    groupby vote count — pairs never touch the driver.
+    Output: (id_a, id_b, votes)."""
+    per = [
+        hash_band_pairs(
+            ds, hash_col=c, id_col=id_col, max_hamming=max_hamming
+        ).map_batches(
+            lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
+        )
+        for c in hash_cols
+    ]
+    unioned = per[0]
+    for p in per[1:]:
+        unioned = unioned.union(p)
+    votes = unioned.groupby(["id_a", "id_b"]).count()
+
+    def fin(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.greater_equal(batch.column("count()"), min_votes)
+        f = batch.filter(keep)
+        return pa.table(
+            {
+                "id_a": f.column("id_a"),
+                "id_b": f.column("id_b"),
+                "votes": f.column("count()").cast(pa.int64()),
+            }
+        )
+
+    return votes.map_batches(fin, batch_format="pyarrow")

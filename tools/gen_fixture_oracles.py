@@ -90,6 +90,26 @@ def main() -> None:
         for i, iid, p, d, c in fps
     )
 
+    # ---- consensus_neardup: both encodings × 3 hash families ------------
+    cn = []
+    for i in range(0, 200, CRAWL_IMG_EVERY):
+        for fmt in ("png", "jpeg"):
+            px = decode_image(encode_image(image_pixels(i, cfg), fmt))
+            cn.append(
+                (
+                    i,
+                    f"img-{i}-{fmt}",
+                    _to_i64(phash64(px)),
+                    _to_i64(dhash64(px)),
+                    _to_i64(dct_phash64(px)),
+                )
+            )
+    consensus_vals = ",\n  ".join(
+        f"({i}, '{iid}', CAST({p} AS BIGINT), CAST({d} AS BIGINT), "
+        f"CAST({c} AS BIGINT))"
+        for i, iid, p, d, c in cn
+    )
+
     # ---- audio_features: i in range(0, min(200, docs), 4), q9-quantized --
     cfga = MockWebConfig(n_pages=200)
     arows = [
@@ -156,6 +176,24 @@ SELECT image_id, phash, dhash, dct_phash
 FROM lit
 WHERE idx < least(200, (SELECT count(*) FROM documents))
 ORDER BY image_id
+"""
+
+SQL_CONSENSUS_NEARDUP = """
+WITH lit(idx, image_id, phash, dhash, dct_phash) AS (VALUES
+  {consensus_vals}),
+live AS (
+  SELECT * FROM lit WHERE idx < least(200, (SELECT count(*) FROM documents))
+),
+votes AS (
+  SELECT a.image_id AS id_a, b.image_id AS id_b,
+         (CASE WHEN bit_count(xor(a.phash, b.phash)) <= 3 THEN 1 ELSE 0 END
+        + CASE WHEN bit_count(xor(a.dhash, b.dhash)) <= 3 THEN 1 ELSE 0 END
+        + CASE WHEN bit_count(xor(a.dct_phash, b.dct_phash)) <= 3 THEN 1 ELSE 0 END
+         )::BIGINT AS votes
+  FROM live a JOIN live b ON a.image_id < b.image_id
+)
+SELECT id_a, id_b, votes FROM votes WHERE votes >= 2
+ORDER BY id_a, id_b
 """
 
 SQL_AUDIO_FEATURES = """
