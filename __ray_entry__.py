@@ -3093,6 +3093,90 @@ def _q_clustering_coefficient(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_degree_assortativity(sf_dir: str) -> pa.Table:
+    """Newman degree-assortativity of the fixture link graph from exact
+    integer sufficient statistics (graph.degree_assortativity_sums):
+    r = (M·Σxy − Σx·Σy) / sqrt((M·Σx² − Σx²)(M·Σy² − Σy²)) over both
+    directed copies of each undirected edge — one shared double division
+    with the HUGEINT SQL oracle, ppm-quantized."""
+    _ctx()
+    import math
+
+    import numpy as np
+
+    from spider_ray.pipelines.graph import degree_assortativity_sums
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        dst = np.stack(
+            [(2 * ids + 1) % n, (3 * ids + 7) % n, (5 * ids + 3) % n], axis=1
+        ).reshape(-1)
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    s = degree_assortativity_sums(
+        docs.map_batches(to_edges, batch_format="pyarrow")
+    )
+    m, sx, sy = s["m"], s["sx"], s["sy"]
+    num = m * s["sxy"] - sx * sy
+    va = m * s["sxx"] - sx * sx
+    vb = m * s["syy"] - sy * sy
+    r_ppm = (
+        0
+        if va == 0 or vb == 0
+        else int(math.floor(float(num) / math.sqrt(float(va) * float(vb)) * 1e6 + 0.5))
+    )
+    return pa.table(
+        {
+            "m": pa.array([m], pa.int64()),
+            "r_ppm": pa.array([r_ppm], pa.int64()),
+        }
+    )
+
+
+_SQL_DEGREE_ASSORTATIVITY = """
+WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
+raw_edges AS (
+  SELECT d.doc_id AS src, (2*d.doc_id+1) % p.n AS dst FROM documents d, n p
+  UNION ALL SELECT d.doc_id, (3*d.doc_id+7) % p.n FROM documents d, n p
+  UNION ALL SELECT d.doc_id, (5*d.doc_id+3) % p.n FROM documents d, n p
+),
+edges AS (SELECT DISTINCT src, dst FROM raw_edges),
+u AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+deg AS (
+  SELECT node, count(*)::BIGINT AS d
+  FROM (SELECT a AS node FROM u UNION ALL SELECT b AS node FROM u)
+  GROUP BY node
+),
+xy AS (
+  SELECT da.d AS x, db.d AS y FROM u
+    JOIN deg da ON da.node = u.a JOIN deg db ON db.node = u.b
+  UNION ALL
+  SELECT db.d, da.d FROM u
+    JOIN deg da ON da.node = u.a JOIN deg db ON db.node = u.b
+),
+s AS (
+  SELECT count(*)::BIGINT AS m, sum(x) AS sx, sum(y) AS sy,
+         sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+  FROM xy
+)
+SELECT m,
+  CASE WHEN (m*sxx - sx*sx) = 0 OR (m*syy - sy*sy) = 0 THEN 0
+       ELSE CAST(floor(
+         (m*sxy - sx*sy)::DOUBLE
+         / sqrt((m*sxx - sx*sx)::DOUBLE * (m*syy - sy*sy)::DOUBLE)
+         * 1000000.0 + 0.5) AS BIGINT)
+  END AS r_ppm
+FROM s
+"""
+
+
 _SQL_CLUSTERING_COEFF = """
 WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
 raw_edges AS (
@@ -4586,6 +4670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "pushdown_click_agg": _q_pushdown_click_agg,
         "clustering_coefficient": _q_clustering_coefficient,
+        "degree_assortativity": _q_degree_assortativity,
         # rollup_lineitem yields its window slot to dup_window_stats: the
         # grouping-sets machinery it exercises is identically covered by
         # the in-window cube_lineitem (cube is a strict superset of the
@@ -4731,6 +4816,7 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_roundtrip": _SQL_JSONL_ROUNDTRIP,
         "pushdown_click_agg": _SQL_PUSHDOWN_CLICK_AGG,
         "clustering_coefficient": _SQL_CLUSTERING_COEFF,
+        "degree_assortativity": _SQL_DEGREE_ASSORTATIVITY,
         "audio_features": _FIXTURE_SQL.SQL_AUDIO_FEATURES,
         "video_frames": _FIXTURE_SQL.SQL_VIDEO_FRAMES,
         "fingerprints": _SQL_FINGERPRINTS,

@@ -418,3 +418,91 @@ def global_clustering(edges_ds, n_buckets: int = 64) -> tuple[int, int]:
     parts = deg.map_batches(triples_partial, batch_format="pyarrow").to_pandas()
     triples = int(parts["t"].sum()) if len(parts) else 0
     return tri, triples
+
+
+def degree_assortativity_sums(edges_ds, n_buckets: int = 64) -> dict:
+    """Exact integer sufficient statistics for the degree-assortativity
+    coefficient (Newman): over every directed copy of each undirected
+    edge, the Pearson terms of (deg(u), deg(v)) — M, Σx, Σy, Σxy, Σx²,
+    Σy². Shapes: one distinct exchange, one degree aggregate, two
+    bucketed joins to attach endpoint degrees, then per-block integer
+    partials summed on the driver (O(blocks) scalars; Python ints —
+    no overflow). Symmetric double-counting makes Σx == Σy by
+    construction (a useful invariant check)."""
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(s, d), pa.int64()),
+                "b": pa.array(np.maximum(s, d), pa.int64()),
+            }
+        )
+
+    und = (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+        .map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+        .materialize()
+    )
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        batch.column("a").combine_chunks().cast(pa.int64()),
+                        batch.column("b").combine_chunks().cast(pa.int64()),
+                    ]
+                )
+            }
+        )
+
+    deg = (
+        und.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+        .map_batches(
+            lambda t: t.rename_columns(["node", "deg"]), batch_format="pyarrow"
+        )
+    )
+    deg_a = deg.map_batches(
+        lambda t: t.rename_columns(["a", "deg_a"]), batch_format="pyarrow"
+    )
+    deg_b = deg.map_batches(
+        lambda t: t.rename_columns(["b", "deg_b"]), batch_format="pyarrow"
+    )
+    j = bucketed_hash_join(
+        und, deg_a, on="a", left_cols=["b"], right_cols=["deg_a"],
+        n_buckets=n_buckets,
+    )
+    j = bucketed_hash_join(
+        j, deg_b, on="b", left_cols=["a", "deg_a"], right_cols=["deg_b"],
+        n_buckets=n_buckets,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        da = batch.column("deg_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        db = batch.column("deg_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        # both directed copies of each undirected edge
+        x = np.concatenate([da, db])
+        y = np.concatenate([db, da])
+        return pa.table(
+            {
+                "m": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                "syy": pa.array([int((y * y).sum())], pa.int64()),
+            }
+        )
+
+    parts = j.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return {
+        c: int(parts[c].sum()) if len(parts) else 0
+        for c in ("m", "sx", "sy", "sxy", "sxx", "syy")
+    }
