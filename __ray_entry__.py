@@ -1999,6 +1999,59 @@ ORDER BY id_a, id_b
 """
 
 
+def _q_similarity_join(sf_dir: str) -> pa.Table:
+    """Cross-table record linkage (pipelines.dedup.minhash_similarity_join)
+    demonstrated on the even/odd doc_id split of documents: near-dup
+    pairs straddling the split surface as (left_id, right_id) matches.
+    Same oracle-validity argument as minhash_pairs: true-Jaccard verify +
+    the corpus's similarity gap pins banding recall at ~1."""
+    _ctx()
+    import pyarrow.dataset as pads
+
+    from spider_ray.pipelines.dedup import minhash_similarity_join
+
+    import pyarrow.compute as _pc2
+
+    even = _pc2.equal(
+        _pc2.bit_wise_and(pads.field("doc_id"), 1), pads.scalar(0)
+    )
+    odd = _pc2.equal(
+        _pc2.bit_wise_and(pads.field("doc_id"), 1), pads.scalar(1)
+    )
+    left = _read(
+        sf_dir, "documents", columns=["doc_id", "text"], row_filter=even
+    )
+    right = _read(
+        sf_dir, "documents", columns=["doc_id", "text"], row_filter=odd
+    )
+    out = _collect(
+        minhash_similarity_join(left, right, verify_threshold=0.8)
+    )
+    return out.select(["left_id", "right_id"]).sort_by(
+        [("left_id", "ascending"), ("right_id", "ascending")]
+    )
+
+
+_SQL_SIMILARITY_JOIN = """
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([substr(text, i, 5) for i in range(1, len(text) - 3)])) AS g
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_l AS left_id, id_r AS right_id
+FROM inter JOIN sizes sa ON sa.doc_id = id_l JOIN sizes sb ON sb.doc_id = id_r
+WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
+ORDER BY left_id, right_id
+"""
+
+
 def _sql_shingle_jaccard_pairs(threshold: float) -> str:
     """Brute-force distinct char-5-gram Jaccard pairs — the exact closed
     form of the hashed-shingle Jaccard the verify stage computes (64-bit
@@ -4671,6 +4724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pushdown_click_agg": _q_pushdown_click_agg,
         "clustering_coefficient": _q_clustering_coefficient,
         "degree_assortativity": _q_degree_assortativity,
+        "similarity_join": _q_similarity_join,
         # rollup_lineitem yields its window slot to dup_window_stats: the
         # grouping-sets machinery it exercises is identically covered by
         # the in-window cube_lineitem (cube is a strict superset of the
@@ -4817,6 +4871,7 @@ def oracle_sql() -> dict[str, str]:
         "pushdown_click_agg": _SQL_PUSHDOWN_CLICK_AGG,
         "clustering_coefficient": _SQL_CLUSTERING_COEFF,
         "degree_assortativity": _SQL_DEGREE_ASSORTATIVITY,
+        "similarity_join": _SQL_SIMILARITY_JOIN,
         "audio_features": _FIXTURE_SQL.SQL_AUDIO_FEATURES,
         "video_frames": _FIXTURE_SQL.SQL_VIDEO_FRAMES,
         "fingerprints": _SQL_FINGERPRINTS,

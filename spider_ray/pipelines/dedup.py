@@ -1595,3 +1595,66 @@ def consensus_neardup_pairs(
         )
 
     return votes.map_batches(fin, batch_format="pyarrow")
+
+
+def minhash_similarity_join(
+    left_ds,
+    right_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    verify_threshold: float = 0.8,
+    **lsh_kwargs,
+):
+    """Record linkage: (left_id, right_id, jaccard) pairs ACROSS two
+    tables with true shingle-Jaccard ≥ threshold. Side is encoded into
+    the id (left → 2·id, right → 2·id+1 — requires ids in [0, 2^62),
+    checked per batch), the union runs through the full
+    ``minhash_lsh_pairs`` machinery (banding, capped hot buckets,
+    distributed verify), and the output keeps only cross-side pairs.
+    Within-side candidates cost some wasted verification — the price of
+    inheriting the scale shape unchanged."""
+
+    def encode(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = (
+                batch.column(id_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            if len(ids) and (ids.min() < 0 or ids.max() >= 1 << 62):
+                raise ValueError("similarity join requires ids in [0, 2^62)")
+            return pa.table(
+                {
+                    "doc_id": pa.array(2 * ids + side, pa.int64()),
+                    "text": batch.column(text_col).cast(pa.string()),
+                }
+            )
+
+        return fn
+
+    u = left_ds.map_batches(encode(0), batch_format="pyarrow").union(
+        right_ds.map_batches(encode(1), batch_format="pyarrow")
+    )
+    pairs = minhash_lsh_pairs(
+        u, id_col="doc_id", text_col="text",
+        verify_threshold=verify_threshold, **lsh_kwargs,
+    )
+
+    def cross_only(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (a & 1) != (b & 1)
+        a, b = a[keep], b[keep]
+        a_is_left = (a & 1) == 0
+        left = np.where(a_is_left, a, b) >> 1
+        right = np.where(a_is_left, b, a) >> 1
+        jc = batch.column("jaccard").to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "left_id": pa.array(left, pa.int64()),
+                "right_id": pa.array(right, pa.int64()),
+                "jaccard": pa.array(jc, pa.float64()),
+            }
+        )
+
+    return pairs.map_batches(cross_only, batch_format="pyarrow")

@@ -813,3 +813,36 @@ def test_minhash_band_rows_chunk_invariant():
     many = pa.concat_tables(parts)
     assert one.column("band_hash").to_pylist() == many.column("band_hash").to_pylist()
     assert one.column("doc_id").to_pylist() == many.column("doc_id").to_pylist()
+
+
+def test_minhash_similarity_join_cross_side_only(ray_session):
+    import pandas as pd
+
+    from spider_ray.pipelines.dedup import minhash_similarity_join
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    left = pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12],
+            "text": [base, "left-side only text nothing alike", base + "!"],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "doc_id": [20, 21],
+            "text": [base, "right side unrelated content entirely"],
+        }
+    )
+    out = (
+        minhash_similarity_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            verify_threshold=0.8,
+        )
+        .to_pandas()
+        .sort_values(["left_id", "right_id"])
+    )
+    got = set(zip(out["left_id"], out["right_id"]))
+    # both near-identical left docs match the right copy; ids decode to
+    # the ORIGINAL key spaces and every pair is cross-side
+    assert got == {(10, 20), (12, 20)}
+    assert (out["jaccard"] >= 0.8).all()
