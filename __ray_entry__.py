@@ -2032,32 +2032,22 @@ def _q_similarity_join(sf_dir: str) -> pa.Table:
     )
 
 
-_SQL_SIMILARITY_JOIN = """
-WITH sh AS (
-  SELECT doc_id,
-         unnest(list_distinct([substr(text, i, 5) for i in range(1, len(text) - 3)])) AS g
-  FROM documents
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS i
-  FROM sh a JOIN sh b ON a.g = b.g
-  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
-  GROUP BY a.doc_id, b.doc_id
-)
-SELECT id_l AS left_id, id_r AS right_id
-FROM inter JOIN sizes sa ON sa.doc_id = id_l JOIN sizes sb ON sb.doc_id = id_r
-WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
-ORDER BY left_id, right_id
-"""
 
 
-def _sql_shingle_jaccard_pairs(threshold: float) -> str:
+def _sql_shingle_jaccard_pairs(threshold: float, cross_parity: bool = False) -> str:
     """Brute-force distinct char-5-gram Jaccard pairs — the exact closed
     form of the hashed-shingle Jaccard the verify stage computes (64-bit
     shingle-hash collisions are the only divergence; none at these doc
     counts). Self-join on exploded shingles beats per-pair
-    ``list_intersect`` ~25× in DuckDB."""
+    ``list_intersect`` ~25× in DuckDB. ``cross_parity`` restricts to
+    even→odd doc pairs with (left_id, right_id) aliases — the
+    similarity_join oracle, sharing ONE shingle definition."""
+    if cross_parity:
+        join_pred = "a.g = b.g AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1"
+        out_a, out_b = "left_id", "right_id"
+    else:
+        join_pred = "a.g = b.g AND a.doc_id < b.doc_id"
+        out_a, out_b = "id_a", "id_b"
     return f"""
 WITH sh AS (
   SELECT doc_id,
@@ -2066,19 +2056,20 @@ WITH sh AS (
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  SELECT a.doc_id AS {out_a}, b.doc_id AS {out_b}, count(*) AS i
+  FROM sh a JOIN sh b ON {join_pred}
   GROUP BY a.doc_id, b.doc_id
 )
-SELECT id_a, id_b
-FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+SELECT {out_a}, {out_b}
+FROM inter JOIN sizes sa ON sa.doc_id = {out_a} JOIN sizes sb ON sb.doc_id = {out_b}
 WHERE i::DOUBLE / (sa.n + sb.n - i) >= {threshold}
-ORDER BY id_a, id_b
+ORDER BY {out_a}, {out_b}
 """
 
 
 _SQL_MINHASH_PAIRS = _sql_shingle_jaccard_pairs(0.8)
 _SQL_NGRAM_JACCARD = _sql_shingle_jaccard_pairs(0.6)
+_SQL_SIMILARITY_JOIN = _sql_shingle_jaccard_pairs(0.8, cross_parity=True)
 
 # Exact SQL replica of the SimHash pipeline: token hash = big-endian
 # uint64 of md5(token)[:8] (DuckDB hex-parses the same prefix), bit i of
@@ -3046,19 +3037,9 @@ def _q_pagerank(sf_dir: str) -> pa.Table:
 
     from spider_ray.pipelines.graph import dedup_edges, pagerank
 
-    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-
-    def to_edges(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        src = np.repeat(ids, 3)
-        dst = np.stack(
-            [(2 * ids + 1) % n, (3 * ids + 7) % n, (5 * ids + 3) % n], axis=1
-        ).reshape(-1)
-        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
-
-    docs = _read(sf_dir, "documents", columns=["doc_id"])
-    edges = dedup_edges(docs.map_batches(to_edges, batch_format="pyarrow"))
-    nodes = docs.map_batches(
+    raw_edges, n = _fixture_link_edges(sf_dir)
+    edges = dedup_edges(raw_edges)
+    nodes = _doc_ids_ds(sf_dir).map_batches(
         lambda b: pa.table({"node": b.column("doc_id")}), batch_format="pyarrow"
     )
     ranks = pagerank(edges, nodes, n_nodes=n, n_iter=5)
@@ -3081,17 +3062,12 @@ def _q_pagerank(sf_dir: str) -> pa.Table:
     return _collect(ranks.map_batches(to_ppb, batch_format="pyarrow")).sort_by("node")
 
 
-def _q_triangle_count(sf_dir: str) -> pa.Table:
-    """Exact triangle count over the fixture web's link graph (same
-    closed-form edges as the pagerank query). Degree-ordered orientation
-    + wedge generation in a bucketed exchange + semi-join closure
-    (pipelines/graph.py triangle_count) — each triangle counted once at
-    its lowest-(degree, id) vertex; the SQL oracle is the canonical
-    three-way self-join over the undirected a<b edge set."""
-    _ctx()
+def _fixture_link_edges(sf_dir: str):
+    """The fixture web's closed-form link graph as a raw (src, dst) edge
+    Dataset — page i → (2i+1)%n, (3i+7)%n, (5i+3)%n, the same closure the
+    crawl-order oracle walks. Shared by pagerank / triangle_count /
+    clustering_coefficient / degree_assortativity."""
     import numpy as np
-
-    from spider_ray.pipelines.graph import triangle_count
 
     n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
 
@@ -3104,7 +3080,39 @@ def _q_triangle_count(sf_dir: str) -> pa.Table:
         return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
 
     docs = _read(sf_dir, "documents", columns=["doc_id"])
-    edges = docs.map_batches(to_edges, batch_format="pyarrow")
+    return docs.map_batches(to_edges, batch_format="pyarrow"), n
+
+
+# shared oracle CTE prefix: fixture edges -> undirected distinct a<b set
+# (UNION ALL, not unnest: DuckDB's binder hits an internal error when an
+# unnest CTE feeds the triangle three-way self-join)
+_SQL_FIXTURE_GRAPH_CTE = """
+WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
+raw_edges AS (
+  SELECT d.doc_id AS src, (2*d.doc_id+1) % p.n AS dst FROM documents d, n p
+  UNION ALL SELECT d.doc_id, (3*d.doc_id+7) % p.n FROM documents d, n p
+  UNION ALL SELECT d.doc_id, (5*d.doc_id+3) % p.n FROM documents d, n p
+),
+edges AS (SELECT DISTINCT src, dst FROM raw_edges),
+u AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+)"""
+
+
+def _q_triangle_count(sf_dir: str) -> pa.Table:
+    """Exact triangle count over the fixture web's link graph (same
+    closed-form edges as the pagerank query). Degree-ordered orientation
+    + wedge generation in a bucketed exchange + semi-join closure
+    (pipelines/graph.py triangle_count) — each triangle counted once at
+    its lowest-(degree, id) vertex; the SQL oracle is the canonical
+    three-way self-join over the undirected a<b edge set."""
+    _ctx()
+    import numpy as np
+
+    from spider_ray.pipelines.graph import triangle_count
+
+    edges, _n = _fixture_link_edges(sf_dir)
     return pa.table({"triangles": pa.array([triangle_count(edges)], pa.int64())})
 
 
@@ -3120,20 +3128,8 @@ def _q_clustering_coefficient(sf_dir: str) -> pa.Table:
 
     from spider_ray.pipelines.graph import global_clustering
 
-    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-
-    def to_edges(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        src = np.repeat(ids, 3)
-        dst = np.stack(
-            [(2 * ids + 1) % n, (3 * ids + 7) % n, (5 * ids + 3) % n], axis=1
-        ).reshape(-1)
-        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
-
-    docs = _read(sf_dir, "documents", columns=["doc_id"])
-    tri, triples = global_clustering(
-        docs.map_batches(to_edges, batch_format="pyarrow")
-    )
+    edges, _n = _fixture_link_edges(sf_dir)
+    tri, triples = global_clustering(edges)
     coeff_ppb = (
         0 if triples == 0 else int(math.floor(3.0 * tri / triples * 1e9 + 0.5))
     )
@@ -3159,20 +3155,8 @@ def _q_degree_assortativity(sf_dir: str) -> pa.Table:
 
     from spider_ray.pipelines.graph import degree_assortativity_sums
 
-    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-
-    def to_edges(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        src = np.repeat(ids, 3)
-        dst = np.stack(
-            [(2 * ids + 1) % n, (3 * ids + 7) % n, (5 * ids + 3) % n], axis=1
-        ).reshape(-1)
-        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
-
-    docs = _read(sf_dir, "documents", columns=["doc_id"])
-    s = degree_assortativity_sums(
-        docs.map_batches(to_edges, batch_format="pyarrow")
-    )
+    edges, _n = _fixture_link_edges(sf_dir)
+    s = degree_assortativity_sums(edges)
     m, sx, sy = s["m"], s["sx"], s["sy"]
     num = m * s["sxy"] - sx * sy
     va = m * s["sxx"] - sx * sx
@@ -3190,18 +3174,7 @@ def _q_degree_assortativity(sf_dir: str) -> pa.Table:
     )
 
 
-_SQL_DEGREE_ASSORTATIVITY = """
-WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
-raw_edges AS (
-  SELECT d.doc_id AS src, (2*d.doc_id+1) % p.n AS dst FROM documents d, n p
-  UNION ALL SELECT d.doc_id, (3*d.doc_id+7) % p.n FROM documents d, n p
-  UNION ALL SELECT d.doc_id, (5*d.doc_id+3) % p.n FROM documents d, n p
-),
-edges AS (SELECT DISTINCT src, dst FROM raw_edges),
-u AS (
-  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-  FROM edges WHERE src <> dst
-),
+_SQL_DEGREE_ASSORTATIVITY = _SQL_FIXTURE_GRAPH_CTE + """,
 deg AS (
   SELECT node, count(*)::BIGINT AS d
   FROM (SELECT a AS node FROM u UNION ALL SELECT b AS node FROM u)
@@ -3230,18 +3203,7 @@ FROM s
 """
 
 
-_SQL_CLUSTERING_COEFF = """
-WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
-raw_edges AS (
-  SELECT d.doc_id AS src, (2*d.doc_id+1) % p.n AS dst FROM documents d, n p
-  UNION ALL SELECT d.doc_id, (3*d.doc_id+7) % p.n FROM documents d, n p
-  UNION ALL SELECT d.doc_id, (5*d.doc_id+3) % p.n FROM documents d, n p
-),
-edges AS (SELECT DISTINCT src, dst FROM raw_edges),
-u AS (
-  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-  FROM edges WHERE src <> dst
-),
+_SQL_CLUSTERING_COEFF = _SQL_FIXTURE_GRAPH_CTE + """,
 deg AS (
   SELECT node, count(*)::BIGINT AS d
   FROM (SELECT a AS node FROM u UNION ALL SELECT b AS node FROM u)
@@ -3261,20 +3223,7 @@ FROM tri, trp
 """
 
 
-_SQL_TRIANGLE_COUNT = """
-WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
--- UNION ALL, not unnest: DuckDB's binder hits an internal error when the
--- unnest CTE feeds the three-way self-join below
-raw_edges AS (
-  SELECT d.doc_id AS src, (2*d.doc_id+1) % p.n AS dst FROM documents d, n p
-  UNION ALL SELECT d.doc_id, (3*d.doc_id+7) % p.n FROM documents d, n p
-  UNION ALL SELECT d.doc_id, (5*d.doc_id+3) % p.n FROM documents d, n p
-),
-edges AS (SELECT DISTINCT src, dst FROM raw_edges),
-u AS (
-  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-  FROM edges WHERE src <> dst
-)
+_SQL_TRIANGLE_COUNT = _SQL_FIXTURE_GRAPH_CTE + """
 SELECT count(*)::BIGINT AS triangles
 FROM u e1
 JOIN u e2 ON e2.a = e1.a AND e2.b > e1.b

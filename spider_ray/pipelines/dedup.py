@@ -1567,7 +1567,20 @@ def consensus_neardup_pairs(
     cuts both false positives and family-specific misses. One banded
     pair pass per hash (each already distinct), a union, and one
     groupby vote count — pairs never touch the driver.
+
+    Contract bounds: ``max_hamming`` ≤ 3 (the 4×16-bit pigeonhole has
+    exact recall only to n_bands−1; larger values would silently lose
+    recall, so they raise), and vote counts are exact as long as no band
+    bucket exceeds the hot-bucket cap — a capped bucket degrades that
+    hash family to chain pairs (members still LINK, but a non-adjacent
+    pair may lose that family's vote; the scale-safety/exactness trade
+    shared with every capped LSH family here).
     Output: (id_a, id_b, votes)."""
+    if max_hamming > 3:
+        raise ValueError(
+            "consensus_neardup_pairs: max_hamming > 3 exceeds the 16-bit "
+            "banding's exact-recall bound (hamming <= n_bands-1 = 3)"
+        )
     per = [
         hash_band_pairs(
             ds, hash_col=c, id_col=id_col, max_hamming=max_hamming

@@ -225,27 +225,12 @@ def pagerank(
     )
 
 
-def triangle_count(edges_ds, n_buckets: int = 64):
-    """Exact triangle count via degree-ordered edge orientation
-    ("compact-forward" / node-iterator with degree ordering).
 
-    Shape: canonicalize to undirected distinct (a < b) edges (one small
-    groupby), compute degrees (one groupby), orient every edge from its
-    lower-(degree, id) endpoint to the higher (two bucketed hash joins to
-    attach endpoint degrees), generate wedges per source node inside a
-    bucketed exchange (out-degree under this orientation is O(sqrt(E)),
-    the classic bound, so per-node pair expansion never blows up on hub
-    nodes), and close wedges with a semi join against the oriented edge
-    key set — broadcast when small, bucketed exchange otherwise
-    (relational.semi_anti_join picks). Every triangle is counted exactly
-    once at its lowest-(degree, id) vertex. Nothing is driver-resident.
-
-    Partitioning assumption: node ids in [0, 2^32) so the closing-edge
-    key packs into one int64 (checked per batch).
-    Returns the scalar triangle count.
-    """
-    from .events import bucketed_by_key
-    from .relational import semi_anti_join
+def _canon_undirected(edges_ds):
+    """Canonical undirected distinct edge set (a < b, self-loops dropped,
+    node ids checked into [0, 2^32) so pair keys pack into one int64) —
+    materialized (one small groupby). Shared scaffolding for
+    triangle_count / global_clustering / degree_assortativity_sums."""
 
     def canon(batch: pa.Table) -> pa.Table:
         s = batch.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -253,7 +238,7 @@ def triangle_count(edges_ds, n_buckets: int = 64):
         if len(s) and (
             s.min() < 0 or d.min() < 0 or s.max() >= 1 << 32 or d.max() >= 1 << 32
         ):
-            raise ValueError("triangle_count requires node ids in [0, 2^32)")
+            raise ValueError("graph statistics require node ids in [0, 2^32)")
         keep = s != d
         s, d = s[keep], d[keep]
         return pa.table(
@@ -263,15 +248,17 @@ def triangle_count(edges_ds, n_buckets: int = 64):
             }
         )
 
-    und = (
+    return (
         edges_ds.map_batches(canon, batch_format="pyarrow")
         .groupby(["a", "b"])
         .count()
         .map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
         .materialize()
     )
-    if und.count() < 3:  # < 3 undirected edges can't close a triangle;
-        return 0  # also guards the empty-Dataset schema (None) join path
+
+
+def _undirected_degrees(und):
+    """(node, deg) over a canonical undirected edge set (one groupby)."""
 
     def endpoints(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -285,7 +272,7 @@ def triangle_count(edges_ds, n_buckets: int = 64):
             }
         )
 
-    deg = (
+    return (
         und.map_batches(endpoints, batch_format="pyarrow")
         .groupby("node")
         .count()
@@ -294,6 +281,9 @@ def triangle_count(edges_ds, n_buckets: int = 64):
         )
     )
 
+
+def _join_endpoint_degrees(und, deg, n_buckets: int):
+    """Attach deg_a / deg_b to every undirected edge (two bucketed joins)."""
     deg_a = deg.map_batches(
         lambda t: t.rename_columns(["a", "deg_a"]), batch_format="pyarrow"
     )
@@ -304,10 +294,19 @@ def triangle_count(edges_ds, n_buckets: int = 64):
         und, deg_a, on="a", left_cols=["b"], right_cols=["deg_a"],
         n_buckets=n_buckets,
     )
-    j = bucketed_hash_join(
+    return bucketed_hash_join(
         j, deg_b, on="b", left_cols=["a", "deg_a"], right_cols=["deg_b"],
         n_buckets=n_buckets,
     )
+
+
+def _triangles_from_und(und, deg, n_buckets: int) -> int:
+    """Degree-ordered orientation -> wedge exchange -> semi-join closure
+    over a prebuilt canonical edge set + degree table."""
+    from .events import bucketed_by_key
+    from .relational import semi_anti_join
+
+    j = _join_endpoint_degrees(und, deg, n_buckets)
 
     def orient(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -370,47 +369,45 @@ def triangle_count(edges_ds, n_buckets: int = 64):
     return closed.count()
 
 
+def triangle_count(edges_ds, n_buckets: int = 64):
+    """Exact triangle count via degree-ordered edge orientation
+    ("compact-forward" / node-iterator with degree ordering).
+
+    Shape: canonicalize to undirected distinct (a < b) edges (one small
+    groupby), compute degrees (one groupby), orient every edge from its
+    lower-(degree, id) endpoint to the higher (two bucketed hash joins to
+    attach endpoint degrees), generate wedges per source node inside a
+    bucketed exchange (out-degree under this orientation is O(sqrt(E)),
+    the classic bound, so per-node pair expansion never blows up on hub
+    nodes), and close wedges with a semi join against the oriented edge
+    key set — broadcast when small, bucketed exchange otherwise
+    (relational.semi_anti_join picks). Every triangle is counted exactly
+    once at its lowest-(degree, id) vertex. Nothing is driver-resident.
+
+    Partitioning assumption: node ids in [0, 2^32) so the closing-edge
+    key packs into one int64 (checked per batch).
+    Returns the scalar triangle count.
+    """
+    und = _canon_undirected(edges_ds)
+    if und.count() < 3:  # < 3 undirected edges can't close a triangle;
+        return 0  # also guards the empty-Dataset schema (None) join path
+    return _triangles_from_und(und, _undirected_degrees(und), n_buckets)
+
+
 def global_clustering(edges_ds, n_buckets: int = 64) -> tuple[int, int]:
     """(triangles, connected triples): the global clustering coefficient's
     exact integer numerator/denominator — 3·triangles / Σ_v C(deg v, 2).
-    One triangle count (degree-ordered, see triangle_count) plus one
-    degree aggregate; the caller does the single final division."""
-    tri = triangle_count(edges_ds, n_buckets=n_buckets)
-
-    def canon(batch: pa.Table) -> pa.Table:
-        s = batch.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
-        d = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        return pa.table(
-            {
-                "a": pa.array(np.minimum(s, d), pa.int64()),
-                "b": pa.array(np.maximum(s, d), pa.int64()),
-            }
-        )
-
-    und = (
-        edges_ds.map_batches(canon, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .count()
-    )
-
-    def endpoints(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "node": pa.concat_arrays(
-                    [
-                        batch.column("a").combine_chunks().cast(pa.int64()),
-                        batch.column("b").combine_chunks().cast(pa.int64()),
-                    ]
-                )
-            }
-        )
-
-    deg = und.map_batches(endpoints, batch_format="pyarrow").groupby("node").count()
+    The canonical edge set and degree table are built ONCE and shared by
+    the triangle pass and the triples aggregate; the caller does the
+    single final division."""
+    und = _canon_undirected(edges_ds)
+    if und.count() < 1:
+        return 0, 0
+    deg = _undirected_degrees(und).materialize()
+    tri = _triangles_from_und(und, deg, n_buckets) if und.count() >= 3 else 0
 
     def triples_partial(batch: pa.Table) -> pa.Table:
-        d = batch.column("count()").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {"t": pa.array([int((d * (d - 1) // 2).sum())], pa.int64())}
         )
@@ -424,65 +421,17 @@ def degree_assortativity_sums(edges_ds, n_buckets: int = 64) -> dict:
     """Exact integer sufficient statistics for the degree-assortativity
     coefficient (Newman): over every directed copy of each undirected
     edge, the Pearson terms of (deg(u), deg(v)) — M, Σx, Σy, Σxy, Σx²,
-    Σy². Shapes: one distinct exchange, one degree aggregate, two
+    Σy². Shapes: the shared canonical-edge + degree scaffolding, two
     bucketed joins to attach endpoint degrees, then per-block integer
-    partials summed on the driver (O(blocks) scalars; Python ints —
-    no overflow). Symmetric double-counting makes Σx == Σy by
-    construction (a useful invariant check)."""
-    def canon(batch: pa.Table) -> pa.Table:
-        s = batch.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
-        d = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        return pa.table(
-            {
-                "a": pa.array(np.minimum(s, d), pa.int64()),
-                "b": pa.array(np.maximum(s, d), pa.int64()),
-            }
-        )
-
-    und = (
-        edges_ds.map_batches(canon, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .count()
-        .map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
-        .materialize()
-    )
-
-    def endpoints(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "node": pa.concat_arrays(
-                    [
-                        batch.column("a").combine_chunks().cast(pa.int64()),
-                        batch.column("b").combine_chunks().cast(pa.int64()),
-                    ]
-                )
-            }
-        )
-
-    deg = (
-        und.map_batches(endpoints, batch_format="pyarrow")
-        .groupby("node")
-        .count()
-        .map_batches(
-            lambda t: t.rename_columns(["node", "deg"]), batch_format="pyarrow"
-        )
-    )
-    deg_a = deg.map_batches(
-        lambda t: t.rename_columns(["a", "deg_a"]), batch_format="pyarrow"
-    )
-    deg_b = deg.map_batches(
-        lambda t: t.rename_columns(["b", "deg_b"]), batch_format="pyarrow"
-    )
-    j = bucketed_hash_join(
-        und, deg_a, on="a", left_cols=["b"], right_cols=["deg_a"],
-        n_buckets=n_buckets,
-    )
-    j = bucketed_hash_join(
-        j, deg_b, on="b", left_cols=["a", "deg_a"], right_cols=["deg_b"],
-        n_buckets=n_buckets,
-    )
+    partials summed on the driver (O(blocks) scalars; Python ints — no
+    overflow). Symmetric double-counting makes Σx == Σy by construction
+    (a useful invariant check)."""
+    zeros = {c: 0 for c in ("m", "sx", "sy", "sxy", "sxx", "syy")}
+    und = _canon_undirected(edges_ds)
+    if und.count() < 1:  # empty/self-loop-only input: all-zero sums
+        return zeros
+    deg = _undirected_degrees(und)
+    j = _join_endpoint_degrees(und, deg, n_buckets)
 
     def partial(batch: pa.Table) -> pa.Table:
         da = batch.column("deg_a").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -502,7 +451,6 @@ def degree_assortativity_sums(edges_ds, n_buckets: int = 64) -> dict:
         )
 
     parts = j.map_batches(partial, batch_format="pyarrow").to_pandas()
-    return {
-        c: int(parts[c].sum()) if len(parts) else 0
-        for c in ("m", "sx", "sy", "sxy", "sxx", "syy")
-    }
+    if not len(parts):
+        return zeros
+    return {c: int(parts[c].sum()) for c in ("m", "sx", "sy", "sxy", "sxx", "syy")}

@@ -268,3 +268,23 @@ def test_triangle_count_degenerate_inputs(ray_session):
     assert triangle_count(
         ray.data.from_pandas(pd.DataFrame({"src": [3, 4], "dst": [3, 4]}))
     ) == 0
+
+
+def test_graph_stats_degenerate_inputs(ray_session):
+    import pandas as pd
+
+    from spider_ray.pipelines.graph import (
+        degree_assortativity_sums,
+        global_clustering,
+    )
+
+    loops = ray.data.from_pandas(pd.DataFrame({"src": [3, 4], "dst": [3, 4]}))
+    assert global_clustering(loops) == (0, 0)
+    assert degree_assortativity_sums(loops) == {
+        "m": 0, "sx": 0, "sy": 0, "sxy": 0, "sxx": 0, "syy": 0,
+    }
+    one = ray.data.from_pandas(pd.DataFrame({"src": [1], "dst": [2]}))
+    tri, triples = global_clustering(one)
+    assert (tri, triples) == (0, 0)
+    s = degree_assortativity_sums(one)
+    assert s["m"] == 2 and s["sx"] == s["sy"] == 2
