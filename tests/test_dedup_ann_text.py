@@ -846,3 +846,29 @@ def test_minhash_similarity_join_cross_side_only(ray_session):
     # the ORIGINAL key spaces and every pair is cross-side
     assert got == {(10, 20), (12, 20)}
     assert (out["jaccard"] >= 0.8).all()
+
+
+def test_consensus_neardup_guard_and_votes(ray_session):
+    import pandas as pd
+
+    from spider_ray.pipelines.dedup import consensus_neardup_pairs
+
+    df = pd.DataFrame(
+        {
+            "image_id": ["a", "b", "c"],
+            # a~b: identical in all three hashes; a~c: close in one only
+            "h1": [10, 10, 10],
+            "h2": [7, 7, 1 << 40],
+            "h3": [99, 99, 1 << 50],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    out = (
+        consensus_neardup_pairs(ds, ["h1", "h2", "h3"], max_hamming=3)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+    )
+    got = {(a, b): v for a, b, v in zip(out["id_a"], out["id_b"], out["votes"])}
+    assert got == {("a", "b"): 3}  # one-vote pairs (a,c)/(b,c) excluded
+    with pytest.raises(ValueError, match="max_hamming"):
+        consensus_neardup_pairs(ds, ["h1"], max_hamming=4)
