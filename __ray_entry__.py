@@ -4146,6 +4146,61 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def _q_csv_roundtrip(sf_dir: str) -> pa.Table:
+    """CSV sink/source round-trip over Ray Data's native
+    write_csv/read_csv: quantized customer columns go out as task-owned
+    CSV shards and come back, reduced to a per-segment count + acctbal
+    sum. Fourth source format (parquet, WebDataset tar, JSONL, CSV)."""
+    _ctx()
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="spider_ray_csv_")
+    try:
+        cust = _read(
+            sf_dir, "customer",
+            columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+        )
+
+        def quantize(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            v = batch.column("c_acctbal").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "c_custkey": batch.column("c_custkey"),
+                    "seg": batch.column("c_mktsegment"),
+                    "bal_q": pa.array(
+                        np.floor(v * 100 + 0.5).astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        cust.map_batches(quantize, batch_format="pyarrow").write_csv(out)
+        back = ray.data.read_csv(out)
+        from spider_ray.pipelines.relational import preagg_sum
+
+        agg = _collect(
+            preagg_sum(back, ["seg"], ["bal_q"], count_alias="n")
+        ).to_pandas().sort_values("seg")
+        return pa.table(
+            {
+                "seg": pa.array(agg["seg"], pa.string()),
+                "n": pa.array(agg["n"].astype("int64"), pa.int64()),
+                "sum_q": pa.array(agg["bal_q"].astype("int64"), pa.int64()),
+            }
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+_SQL_CSV_ROUNDTRIP = """
+SELECT c_mktsegment AS seg, count(*)::BIGINT AS n,
+       sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))::BIGINT AS sum_q
+FROM customer GROUP BY c_mktsegment ORDER BY seg
+"""
+
+
 def _q_webdataset_roundtrip(sf_dir: str) -> pa.Table:
     """WebDataset tar-shard sink/source round-trip
     (sources.webdataset): documents are packed into deterministic tar
@@ -4670,6 +4725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_global_sort": _q_events_global_sort,
         "props_key_agg": _q_props_key_agg,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "csv_roundtrip": _q_csv_roundtrip,
         "pushdown_click_agg": _q_pushdown_click_agg,
         "clustering_coefficient": _q_clustering_coefficient,
         "degree_assortativity": _q_degree_assortativity,
@@ -4817,6 +4873,7 @@ def oracle_sql() -> dict[str, str]:
         "events_global_sort": _SQL_EVENTS_GLOBAL_SORT,
         "props_key_agg": _SQL_PROPS_KEY_AGG,
         "jsonl_roundtrip": _SQL_JSONL_ROUNDTRIP,
+        "csv_roundtrip": _SQL_CSV_ROUNDTRIP,
         "pushdown_click_agg": _SQL_PUSHDOWN_CLICK_AGG,
         "clustering_coefficient": _SQL_CLUSTERING_COEFF,
         "degree_assortativity": _SQL_DEGREE_ASSORTATIVITY,
