@@ -1451,7 +1451,10 @@ def _q_props_key_agg(sf_dir: str) -> pa.Table:
     from spider_ray.pipelines.relational import preagg_sum
 
     ev = _read(sf_dir, "events", columns=["event_type", "props"])
-    with_k = with_json_int(ev, "props", "k", out_col="k")
+    # strict=True: the DuckDB oracle fully parses JSON, so float/scientific
+    # or >19-digit values of k must go through the json.loads repair pass
+    # (which only touches rows the RE2 fast path nulled — fast path stays hot)
+    with_k = with_json_int(ev, "props", "k", out_col="k", strict=True)
     out = _collect(preagg_sum(with_k, ["event_type"], ["k"])).to_pandas()
     out = out.sort_values("event_type").reset_index(drop=True)
     return pa.table(

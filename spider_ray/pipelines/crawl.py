@@ -681,8 +681,12 @@ def wave_select_arrow(
     # string materialization (was an O(frontier) dict-counting loop).
     import pyarrow.compute as pc
 
+    # null hosts must behave as an ordinary key (the pre-vectorization
+    # dict-counting loop treated None that way); a null dictionary index
+    # would otherwise become NaN and NaN→int64 is undefined behavior
+    host_col = pc.fill_null(frontier.column("host").combine_chunks(), "")
     codes_all = (
-        pc.dictionary_encode(frontier.column("host").combine_chunks())
+        pc.dictionary_encode(host_col)
         .indices.to_numpy(zero_copy_only=False)
         .astype(np.int64)
     )

@@ -25,6 +25,7 @@ verification re-reads only candidate groups.
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
@@ -112,11 +113,29 @@ def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
 MAX_BUCKET_ALL_PAIRS = 64
 
 
+_chain_fallback_logged = False
+
+
 def _bucket_pair_indices(n: int) -> tuple[np.ndarray, np.ndarray]:
     """Index pairs for one bucket of n members: all pairs when small, the
-    consecutive chain when hot."""
+    consecutive chain when hot. Chain fallback loses non-adjacent pairs
+    (connectivity is kept, exact pair sets are not) — surface that per
+    worker process so oracle comparisons on large corpora can be
+    interpreted (ADVICE r3 #4)."""
     if n <= MAX_BUCKET_ALL_PAIRS:
         return np.triu_indices(n, k=1)
+    global _chain_fallback_logged
+    if not _chain_fallback_logged:
+        _chain_fallback_logged = True
+        logging.getLogger(__name__).warning(
+            "dedup: a band bucket of %d members exceeded "
+            "MAX_BUCKET_ALL_PAIRS=%d and degraded to chain pairs — "
+            "cluster connectivity is preserved but non-adjacent pair "
+            "rows (and consensus votes) may be undercounted for hot "
+            "buckets from here on",
+            n,
+            MAX_BUCKET_ALL_PAIRS,
+        )
     idx = np.arange(n - 1)
     return idx, idx + 1
 

@@ -650,7 +650,10 @@ def pivot_counts(ds, key_col: str, pivot_col: str, values: list[str]):
         piv = batch.column(pivot_col)
         cols = {key_col: batch.column(key_col)}
         for v, name in zip(values, out_cols):
-            cols[name] = pc.equal(piv, v).cast(pa.int64())
+            # fill_null: pc.equal(null, v) is null, and a key whose rows
+            # are all-null for a value would sum to null instead of the
+            # SQL CASE-sum's 0
+            cols[name] = pc.fill_null(pc.equal(piv, v), False).cast(pa.int64())
         t = pa.table(cols)
         g = t.group_by([key_col]).aggregate([(c, "sum") for c in out_cols])
         return pa.table(

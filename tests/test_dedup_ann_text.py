@@ -872,3 +872,32 @@ def test_consensus_neardup_guard_and_votes(ray_session):
     assert got == {("a", "b"): 3}  # one-vote pairs (a,c)/(b,c) excluded
     with pytest.raises(ValueError, match="max_hamming"):
         consensus_neardup_pairs(ds, ["h1"], max_hamming=4)
+
+
+def test_chain_fallback_logs_once():
+    """When a bucket exceeds MAX_BUCKET_ALL_PAIRS the degradation to
+    chain pairs must be surfaced via a log line (once per process) so
+    exactness loss is interpretable in oracle comparisons (ADVICE r3)."""
+    import logging
+
+    from spider_ray.pipelines import dedup as dd
+
+    dd._chain_fallback_logged = False
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    h = Capture()
+    logger = logging.getLogger("spider_ray.pipelines.dedup")
+    logger.addHandler(h)
+    try:
+        dd._bucket_pair_indices(dd.MAX_BUCKET_ALL_PAIRS)  # below cap: silent
+        assert records == []
+        dd._bucket_pair_indices(dd.MAX_BUCKET_ALL_PAIRS + 1)
+        dd._bucket_pair_indices(dd.MAX_BUCKET_ALL_PAIRS + 5)  # logged once
+        assert len(records) == 1 and "chain pairs" in records[0]
+    finally:
+        logger.removeHandler(h)
+        dd._chain_fallback_logged = False

@@ -591,3 +591,22 @@ def test_grouped_outliers_exact_integer_predicate(ray_session):
         if abs(n * int(q) - s) > t
     }
     assert set(out["i"]) == expected
+
+
+def test_pivot_counts_all_null_pivot_key(ray_session):
+    """A key whose pivot values are all null must count 0, not null
+    (SQL CASE-sum semantics; ADVICE r3)."""
+    from spider_ray.pipelines.events import pivot_counts
+
+    df = pd.DataFrame(
+        {"u": [1, 1, 2, 2], "t": ["a", None, None, None]}
+    )
+    out = (
+        pivot_counts(ray.data.from_pandas(df), "u", "t", ["a", "b"])
+        .to_pandas()
+        .sort_values("u")
+        .reset_index(drop=True)
+    )
+    assert out["n_a"].tolist() == [1, 0]
+    assert out["n_b"].tolist() == [0, 0]
+    assert not out[["n_a", "n_b"]].isna().any().any()

@@ -140,3 +140,26 @@ def test_host_cap_vectorized_matches_sequential_reference():
         expected = [frontier.column("url")[i].as_py() for i in take]
         assert wave.column("url").to_pylist() == expected, (wave_k, cap)
         assert wave.num_rows + deferred.num_rows == n
+
+
+def test_wave_select_arrow_null_host(ray_session):
+    """A null host must behave as an ordinary politeness key (ADVICE r3):
+    the capped cut over a frontier with None hosts equals the cut over
+    the identical frontier with None replaced by a sentinel string."""
+    frontier = _frontier(n=200, hosts=4)
+    host = frontier.column("host").to_pylist()
+    for i in range(0, len(host), 7):
+        host[i] = None
+    with_null = frontier.set_column(
+        frontier.schema.get_field_index("host"), "host",
+        pa.array(host, pa.string()),
+    )
+    with_sentinel = frontier.set_column(
+        frontier.schema.get_field_index("host"), "host",
+        pa.array(["" if h is None else h for h in host], pa.string()),
+    )
+    wave_a, deferred_a = wave_select_arrow(with_null, 60, 5)
+    wave_b, _ = wave_select_arrow(with_sentinel, 60, 5)
+    assert wave_a.select(["url", "priority"]).to_pydict() == \
+        wave_b.select(["url", "priority"]).to_pydict()
+    assert wave_a.num_rows + deferred_a.num_rows == with_null.num_rows
