@@ -891,28 +891,27 @@ def embedding_neardup_pairs(
     planes = rng.standard_normal((d, n_planes))
     plane_bits = 1 << np.arange(n_planes, dtype=np.int64)
 
-    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        mat = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+    def bucket(batch: pa.Table) -> pa.Table:
+        base = batch.select([id_col, vec_col])
+        if batch.num_rows == 0:
+            return base.append_column("bucket", pa.array([], pa.int64()))
+        from ..functions.vecs import vectors_to_matrix
+
+        mat = vectors_to_matrix(batch.column(vec_col))
         proj = mat @ planes
         keys = ((proj > 0) * plane_bits).sum(axis=1)
-        ids = batch[id_col].to_numpy()
-        out_ids = [ids]
         out_keys = [keys]
-        out_vecs = [batch[vec_col].to_numpy()]
         if multiprobe > 0 and n_planes > 0:
             # flip the m least-confident planes, one at a time
             order = np.argsort(np.abs(proj), axis=1)[:, : min(multiprobe, n_planes)]
             for m in range(order.shape[1]):
-                flipped = keys ^ plane_bits[order[:, m]]
-                out_ids.append(ids)
-                out_keys.append(flipped)
-                out_vecs.append(batch[vec_col].to_numpy())
-        return pd.DataFrame(
-            {
-                id_col: np.concatenate(out_ids),
-                "bucket": np.concatenate(out_keys),
-                vec_col: np.concatenate(out_vecs),
-            }
+                out_keys.append(keys ^ plane_bits[order[:, m]])
+        # one arrow take replicates (id, vec) per probe — the vector list
+        # column is gathered in C, never re-boxed through Python
+        idx = np.tile(np.arange(batch.num_rows, dtype=np.int64), len(out_keys))
+        out = base.take(pa.array(idx))
+        return out.append_column(
+            "bucket", pa.array(np.concatenate(out_keys).astype(np.int64))
         )
 
     def _exact_pairs(ids: np.ndarray, mat: np.ndarray) -> pd.DataFrame:
@@ -972,7 +971,7 @@ def embedding_neardup_pairs(
         )
 
     pairs = (
-        ds.map_batches(bucket, batch_format="pandas")
+        ds.map_batches(bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(in_bucket_pairs, batch_format="pandas")
         .materialize()

@@ -34,9 +34,9 @@ _QBITS = 20
 
 
 def _mat(batch: pa.Table, vec_col: str) -> np.ndarray:
-    return np.stack(
-        [np.asarray(v, dtype=np.float64) for v in batch.column(vec_col).to_pylist()]
-    )
+    from ..functions.vecs import vectors_to_matrix
+
+    return vectors_to_matrix(batch.column(vec_col))
 
 
 def deterministic_init(ds, k: int, vec_col: str = "embedding", id_col: str = "vec_id"):

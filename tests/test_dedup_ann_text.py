@@ -901,3 +901,58 @@ def test_chain_fallback_logs_once():
     finally:
         logger.removeHandler(h)
         dd._chain_fallback_logged = False
+
+
+def test_ivf_quantizer_sample_unbiased_on_sorted_layout(ray_session, tmp_path):
+    """VERDICT r3 next #5: quantizer training must hash-thin uniformly.
+    On a cluster-sorted layout (all of cluster 0 first — the 100-TB
+    sorted/clustered parquet case) a head sample (the old
+    ``ds.limit(n)``) sees ONE cluster; the uniform sample must span
+    (nearly) all of them, and the built index must hold recall for
+    queries from every cluster."""
+    import pandas as pd
+    import ray
+
+    from spider_ray.pipelines.ann import (
+        _uniform_sample_matrix,
+        brute_force_topk,
+        build_ivf_index,
+    )
+
+    rng = np.random.default_rng(11)
+    n_clusters, per, d = 8, 300, 16
+    centers = np.eye(n_clusters, d) * 10.0
+    mats, labels = [], []
+    for c in range(n_clusters):  # cluster-sorted: all of c before c+1
+        mats.append(centers[c] + rng.normal(0, 0.05, (per, d)))
+        labels.extend([c] * per)
+    mat = np.vstack(mats)
+    n = len(mat)
+    df = pd.DataFrame(
+        {"vec_id": range(n), "embedding": [row for row in mat]}
+    )
+    ds = ray.data.from_pandas(df).repartition(16)
+
+    sample_size = 256  # ≈ one cluster — head sampling sees ONLY cluster 0
+    head = np.stack(df["embedding"].to_numpy()[:sample_size])
+    head_clusters = set(np.argmax(head @ centers.T, axis=1).tolist())
+    assert head_clusters == {0}, "fixture no longer demonstrates head bias"
+
+    sample = _uniform_sample_matrix(ds, "vec_id", "embedding", sample_size)
+    seen = set(np.argmax(sample @ centers.T, axis=1).tolist())
+    assert len(seen) >= n_clusters - 1, f"uniform sample spans {seen}"
+
+    queries = centers + rng.normal(0, 0.05, (n_clusters, d))
+    exact = brute_force_topk(ds, queries, k=10).to_pandas()
+    index = build_ivf_index(
+        ds, str(tmp_path / "ivf_sorted"), n_cells=8, sample_size=sample_size
+    )
+    approx, stats = index.topk(queries[:4], k=10, n_probe=2)
+    approx = approx.to_pandas()
+    assert 0 < stats["scanned_rows"] < stats["total_rows"]
+    recalls = []
+    for q in range(4):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.9, recalls
