@@ -192,6 +192,226 @@ def bpe_train(
     )
 
 
+def bpe_train_naive(
+    texts: list, num_merges: int, min_freq: int = 2
+) -> list[tuple[int, str, str, int]]:
+    """Single-process Sennrich reference: dict-of-tuples vocabulary, full
+    pair recount every round, same (count desc, (a, b) asc) tie-break.
+    The independent twin the distributed trainers are equality-gated
+    against (tests/test_bpe.py and the bpe_vocab_pin driver query)."""
+    wc: Counter = Counter()
+    for t in texts:
+        if t:
+            wc.update(_WORD_RE.findall(t.lower()))
+    vocab = {tuple(_word_symbols(w)): n for w, n in wc.items()}
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        pairs: Counter = Counter()
+        for sym, n in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += n
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_freq:
+            break
+        merges.append((rank, a, b, cnt))
+        new_vocab: dict[tuple, int] = {}
+        for sym, n in vocab.items():
+            out = tuple(_apply_merge(list(sym), a, b, a + b))
+            new_vocab[out] = new_vocab.get(out, 0) + n
+        vocab = new_vocab
+    return merges
+
+
+class _BpeShard:
+    """One shard of the unique-word table held in actor memory with a
+    pair→word inverted index (the fastBPE/HF-tokenizers structure,
+    distributed). ``apply_merge`` touches only the words that actually
+    contain the merged pair — O(occurrences), not O(vocabulary) — and
+    returns the exact pair-count deltas so the driver can maintain the
+    global pair-count table incrementally."""
+
+    def __init__(self):
+        self.syms: list[list[str]] = []
+        self.ns: list[int] = []
+        # pair -> set of local word indices whose symbol seq contains it
+        self.index: dict[tuple[str, str], set[int]] = {}
+
+    def ingest(self, words: list[str], ns: list[int]) -> dict:
+        """Append words; return this batch's pair-count contribution."""
+        deltas: Counter = Counter()
+        base = len(self.syms)
+        for off, (w, n) in enumerate(zip(words, ns)):
+            sym = _word_symbols(w)
+            wi = base + off
+            self.syms.append(sym)
+            self.ns.append(n)
+            for p in zip(sym, sym[1:]):
+                deltas[p] += n
+                self.index.setdefault(p, set()).add(wi)
+        return dict(deltas)
+
+    def apply_merge(self, a: str, b: str) -> dict:
+        """Merge (a, b) → a+b in every word containing the pair; return
+        exact pair-count deltas (weighted by word frequency)."""
+        ab = a + b
+        deltas: Counter = Counter()
+        affected = list(self.index.get((a, b), ()))
+        for wi in affected:
+            old = self.syms[wi]
+            n = self.ns[wi]
+            new = _apply_merge(old, a, b, ab)
+            oldc = Counter(zip(old, old[1:]))
+            newc = Counter(zip(new, new[1:]))
+            for p, c in newc.items():
+                d = c - oldc.get(p, 0)
+                if d:
+                    deltas[p] += d * n
+            for p, c in oldc.items():
+                if p not in newc:
+                    deltas[p] -= c * n
+                    s = self.index.get(p)
+                    if s is not None:
+                        s.discard(wi)
+                        if not s:
+                            del self.index[p]
+            for p in newc.keys() - oldc.keys():
+                self.index.setdefault(p, set()).add(wi)
+            self.syms[wi] = new
+        return dict(deltas)
+
+
+def bpe_train_indexed(
+    ds,
+    text_col: str = "text",
+    num_merges: int = 64,
+    min_freq: int = 2,
+    num_shards: int = 8,
+) -> pa.Table:
+    """``bpe_train`` with identical output but O(touched occurrences)
+    per merge instead of two full dataset passes + a shuffle per merge —
+    the r3-verdict scale fix for the 32k-merge case.
+
+    Shape: the corpus collapses once into the unique-word frequency
+    table (the only O(corpus) pass); words hash-shard by md5 into a
+    fixed actor pool holding symbol sequences + a pair→word inverted
+    index; the driver keeps the global pair-count table (≲ tens of MB —
+    distinct SYMBOL pairs, not occurrences) with a lazy-deletion
+    max-heap keyed (-cnt, a, b) so ties still break lexicographically.
+    Each merge round is one actor broadcast + exact count deltas back —
+    milliseconds, vs seconds per round for the recount path, and the
+    per-round data volume is O(pairs touched by the merge), independent
+    of corpus size. 32k merges ≈ minutes of driver loop instead of 32k
+    distributed shuffles.
+
+    Why not top-M batched merges instead (the other candidate fix):
+    exactness-preserving batching degenerates to M≈1 on natural text —
+    after merging ('t','h') the brand-new pair ('th','e') immediately
+    outranks every remaining candidate, so any sound batch-validity
+    bound cuts the batch at the first merge. The inverted index attacks
+    the real cost (per-round work), not the round count.
+
+    Deterministic and bit-identical to ``bpe_train`` / the naive
+    reference at any parallelism (equality-gated in tests/test_bpe.py
+    and externally by the ``bpe_vocab_pin`` driver query)."""
+    import hashlib
+    import heapq
+
+    import ray
+
+    words = word_frequency_table(ds, text_col)
+    # num_cpus=0: the shards are memory-resident indexes that work in
+    # short bursts; reserving whole CPUs for them would deadlock small
+    # clusters against the ingest map_batches tasks they must overlap
+    shards = [
+        ray.remote(num_cpus=0)(_BpeShard).remote() for _ in range(num_shards)
+    ]
+    try:
+        def route(batch: pa.Table) -> pa.Table:
+            """Hash-route this block's words to their shards, fold the
+            shards' pair-count contributions into one partial table."""
+            ws = batch.column("word").to_pylist()
+            ns = batch.column("sum(n)").to_pylist()
+            by_shard: list[tuple[list, list]] = [
+                ([], []) for _ in range(num_shards)
+            ]
+            for w, n in zip(ws, ns):
+                s = int.from_bytes(
+                    hashlib.md5(w.encode()).digest()[:4], "little"
+                ) % num_shards
+                by_shard[s][0].append(w)
+                by_shard[s][1].append(int(n))
+            refs = [
+                shards[s].ingest.remote(by_shard[s][0], by_shard[s][1])
+                for s in range(num_shards)
+                if by_shard[s][0]
+            ]
+            c: Counter = Counter()
+            for d in ray.get(refs):
+                c.update(d)
+            keys = sorted(c)
+            return pa.table(
+                {
+                    "a": pa.array([k[0] for k in keys], pa.string()),
+                    "b": pa.array([k[1] for k in keys], pa.string()),
+                    "cnt": pa.array([c[k] for k in keys], pa.int64()),
+                }
+            )
+
+        counts: Counter = Counter()
+        for part in words.map_batches(
+            route, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            for a, b, c in zip(
+                part.column("a").to_pylist(),
+                part.column("b").to_pylist(),
+                part.column("cnt").to_pylist(),
+            ):
+                counts[(a, b)] += c
+
+        heap = [(-c, a, b) for (a, b), c in counts.items()]
+        heapq.heapify(heap)
+        merges: list[tuple[int, str, str, int]] = []
+        for rank in range(num_merges):
+            best = None
+            while heap:
+                negc, a, b = heapq.heappop(heap)
+                if counts.get((a, b), 0) == -negc:
+                    best = (a, b, -negc)
+                    break
+                # stale lazy-heap entry: the live count (if any) has its
+                # own fresher entry pushed on update
+            if best is None or best[2] < min_freq:
+                break
+            a, b, cnt = best
+            merges.append((rank, a, b, cnt))
+            deltas: Counter = Counter()
+            for d in ray.get([s.apply_merge.remote(a, b) for s in shards]):
+                deltas.update(d)
+            for p, d in deltas.items():
+                nc = counts.get(p, 0) + d
+                if nc <= 0:
+                    counts.pop(p, None)
+                else:
+                    counts[p] = nc
+                    heapq.heappush(heap, (-nc, p[0], p[1]))
+    finally:
+        for s in shards:
+            ray.kill(s)
+
+    if not merges:
+        return _MERGES_SCHEMA.empty_table()
+    return pa.table(
+        {
+            "rank": pa.array([m[0] for m in merges], pa.int64()),
+            "a": pa.array([m[1] for m in merges], pa.string()),
+            "b": pa.array([m[2] for m in merges], pa.string()),
+            "cnt": pa.array([m[3] for m in merges], pa.int64()),
+        }
+    )
+
+
 def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """Greedy lowest-rank-first BPE segmentation of one word."""
     sym = _word_symbols(word)

@@ -75,6 +75,52 @@ def test_bpe_train_blocking_invariant(ray_session):
     )
 
 
+def test_bpe_train_indexed_matches_reference(ray_session):
+    """The actor-sharded incremental trainer (inverted pair→word index,
+    driver lazy-heap) is bit-identical to both the recount path and the
+    naive single-process reference — including count ties, min_freq
+    early-stop, and repeated-symbol pairs like ('a','a')."""
+    from spider_ray.pipelines.bpe import bpe_train, bpe_train_indexed
+
+    texts = (
+        pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])["text"]
+        .head(40)
+        .tolist()
+    )
+    ds = ray.data.from_pandas(pd.DataFrame({"text": texts}))
+    indexed = bpe_train_indexed(ds, num_merges=24, num_shards=3).to_pylist()
+    assert [
+        (m["rank"], m["a"], m["b"], m["cnt"]) for m in indexed
+    ] == _ref_bpe(texts, 24)
+    assert indexed == bpe_train(ds, num_merges=24).to_pylist()
+
+
+def test_bpe_train_indexed_edge_corpora(ray_session):
+    """Shard-count invariance + tricky corpora: overlapping repeated
+    symbols ('aaaa'), ties broken lexicographically, min_freq stop."""
+    from spider_ray.pipelines.bpe import bpe_train_indexed
+
+    corpora = [
+        ["aaaa aaaa aa", "aaa baab"] * 3,
+        ["xy xy yx yx"] * 4,          # count ties -> (x,y) before (y,x)
+        ["solo"],                      # everything below min_freq
+        [],                            # empty corpus
+    ]
+    for texts in corpora:
+        expected = _ref_bpe(texts, 16)
+        for num_shards in (1, 4):
+            got = bpe_train_indexed(
+                ray.data.from_pandas(pd.DataFrame({"text": texts}))
+                if texts
+                else ray.data.from_items([{"text": ""}]),
+                num_merges=16,
+                num_shards=num_shards,
+            ).to_pylist()
+            assert [
+                (m["rank"], m["a"], m["b"], m["cnt"]) for m in got
+            ] == expected, (texts, num_shards)
+
+
 def test_bpe_encode_roundtrip(ray_session):
     """Encoding with the learned merges: greedy segmentation reconstructs
     each word, and fully-merged training words collapse to one piece."""
