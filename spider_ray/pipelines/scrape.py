@@ -177,6 +177,11 @@ class AdapterContext:
 
     web_config: MockWebConfig | None
     adapter: str = "simple"
+    # optional AI client handed through to adapter discover_options,
+    # untyped to avoid a hard dep (platform/types.ts:50-52, context.ts:10)
+    ai: object | None = None
+    # optional structured logger (platform/types.ts:53-55)
+    log: Callable | None = None
 
     def fetch_page(self, url: str) -> str | None:
         """One-off HTML fetch with the bound adapter (detection phase)."""
@@ -214,6 +219,10 @@ class PlatformAdapter:
     priority: int = 200
     detect_url: Callable[[str], dict | None] | None = None
     detect_html: Callable[[str, str], dict | None] | None = None
+    # optional per-source configuration discovery (folders, filters, …) —
+    # platform/types.ts:84-88 discoverOptions?(url, ctx); receives the
+    # AdapterContext so it can fetch pages / use ctx.ai
+    discover_options: Callable[[str, "AdapterContext"], dict] | None = None
 
 
 class PlatformRegistry:
@@ -266,9 +275,50 @@ class PlatformRegistry:
             return {"type": source["type"], "confidence": "high"}
         return self.detect(source["url"], fetch_html, fallback_type)
 
-    def fetch_items(self, source: dict, ctx, fetch_html, fallback_type=None) -> list[dict]:
+    def discover_source_options(
+        self, source: dict, ctx, fetch_html, fallback_type=None
+    ) -> dict:
+        """Run the resolved adapter's optional ``discover_options`` hook
+        (platform/types.ts:84-88): per-source configuration the adapter
+        can infer from the site itself (folders, filters, pagination …).
+        Returns the discovered dict merged UNDER the source — explicit
+        source fields win, matching the preset-beats-detection philosophy
+        (registry.ts:161-162). Hook errors are logged and tolerated (the
+        detection-phase error contract, registry.ts:98-104): discovery is
+        an optimization, never a gate."""
+        resolved = self.resolve(source, fetch_html, fallback_type)
+        if resolved is None:
+            raise ValueError(
+                f"ValidationError: cannot resolve platform for {source}"
+            )
+        adapter = self._adapters[resolved["type"]]
+        if adapter.discover_options is None:
+            return dict(source)
+        try:
+            discovered = adapter.discover_options(source["url"], ctx) or {}
+        except Exception as exc:
+            if getattr(ctx, "log", None):
+                ctx.log(
+                    "discoverOptions failed",
+                    {"type": adapter.type, "error": str(exc)},
+                )
+            discovered = {}
+        return {**discovered, **source}
+
+    def fetch_items(
+        self,
+        source: dict,
+        ctx,
+        fetch_html,
+        fallback_type=None,
+        discover: bool = False,
+    ) -> list[dict]:
         resolved = self.resolve(source, fetch_html, fallback_type)
         if resolved is None:
             raise ValueError(f"ValidationError: cannot resolve platform for {source}")
         adapter = self._adapters[resolved["type"]]
+        if discover and adapter.discover_options is not None:
+            source = self.discover_source_options(
+                source, ctx, fetch_html, fallback_type
+            )
         return adapter.fetch(source, ctx)

@@ -40,6 +40,39 @@ from ..sources.fixtures import MockWeb, MockWebConfig
 
 _FIXED_EPOCH_MS = 1_700_000_000_000  # deterministic fetched_at (no wall clock)
 
+# browser-runner.ts:18-21: env fallbacks for the Chromium binary path,
+# first non-empty wins; an explicit path always wins over both
+BROWSER_EXECUTABLE_PATH_ENV_VARS = (
+    "HAVE_SPIDER_BROWSER_EXECUTABLE_PATH",
+    "PLAYWRIGHT_CHROMIUM_EXECUTABLE_PATH",
+)
+
+
+def resolve_browser_executable_path(
+    explicit_path: str | None = None,
+    include_environment: bool = True,
+    env: dict | None = None,
+) -> str | None:
+    """browser-runner.ts:102-123 resolveBrowserExecutablePath: trimmed
+    explicit path wins; otherwise the env fallbacks in declared order —
+    unless the caller excludes the environment (stealth mode passes
+    ``includeEnvironment: !stealth`` so a stealth browser never silently
+    picks up a non-stealth binary from the environment,
+    crawlee.ts:52-55)."""
+    import os
+
+    normalized = (explicit_path or "").strip()
+    if normalized:
+        return normalized
+    if not include_environment:
+        return None
+    env = os.environ if env is None else env
+    for name in BROWSER_EXECUTABLE_PATH_ENV_VARS:
+        configured = (env.get(name) or "").strip()
+        if configured:
+            return configured
+    return None
+
 
 def process_html(html: str) -> str:
     """DOM-normalization round-trip (dom.ts:36-49): the reference parses
@@ -140,6 +173,11 @@ class FetchStage:
         cache_clock=None,
         cache_provider: dict | None = None,
         headers: dict | None = None,
+        headless: bool = True,
+        user_agent: str | None = None,
+        stealth: bool | None = None,
+        executable_path: str | None = None,
+        cloak: dict | None = None,
     ):
         if adapter not in self.ADAPTERS:
             # mirror scraper-factory.ts:52-59: reserved names typed but
@@ -166,6 +204,17 @@ class FetchStage:
         # request headers vary the cache key (index.spec.ts:120-146
         # "cache varies by headers") and are honored by HttpResolver
         self.headers = headers or None
+        # browser-family launch options (crawlee.ts:29-44). No Chromium in
+        # this container, so their only observable behavior is the declared
+        # cache-key contract (crawlee.ts:46-66, tree.ts:101-121): a stealth
+        # or differently-binaried browser must never serve another
+        # configuration's cached render. cloak is the CloakBrowserOptions
+        # dict {humanize, executablePath, autoUpdate} (types.ts:104-113).
+        self.headless = headless
+        self.user_agent = user_agent
+        self.stealth = stealth
+        self.executable_path = executable_path
+        self.cloak = cloak or None
         # optional persistent TTL'd backend shared across actors/processes
         # (cache.ts:20-45; survives re-runs — README.md:554-557 resume)
         # cache_provider is the CacheProviderConfig-equivalent
@@ -211,6 +260,48 @@ class FetchStage:
                     break
         return content, interactions
 
+    # -- cache-key contract ------------------------------------------------
+    def cache_key(self, url: str) -> str:
+        """Content-addressed cache key; the declared vary-by surface per
+        adapter family. Browser family (crawlee.ts:46-66, tree.ts:101-121)
+        varies by every launch option that can change the rendered page:
+        headless, effective user agent, headers, stealth, the RESOLVED
+        executable path (env fallbacks participate only when stealth is
+        off — crawlee.ts:52-55), and the three cloak knobs. crawl4ai
+        (crawl4ai.ts:168-173) varies by (serverUrl, headless, userAgent,
+        waitUntil)."""
+        parts = {
+            "adapter": self.adapter,
+            "customSelectors": self.custom_selectors or None,
+        }
+        if self.headers:  # absent ≈ reference's dropped-undefined
+            parts["headers"] = self.headers
+        if self.adapter in ("crawlee", "tree"):
+            resolved = resolve_browser_executable_path(
+                self.executable_path,
+                include_environment=not self.stealth,
+            )
+            cloak = self.cloak or {}
+            parts["browserConfig"] = [
+                self.headless,
+                self.user_agent,
+                self.stealth,
+                resolved,
+                cloak.get("humanize"),
+                cloak.get("executablePath"),
+                cloak.get("autoUpdate"),
+            ]
+        if self.adapter == "crawl4ai" and getattr(
+            self.web, "crawl4ai_url", None
+        ):
+            parts["crawl4aiConfig"] = [
+                self.web.crawl4ai_url,
+                getattr(self.web, "crawl4ai_headless", True),
+                getattr(self.web, "user_agent", None),
+                getattr(self.web, "crawl4ai_wait_until", None),
+            ]
+        return create_cache_key(self.adapter, url, [parts])
+
     # -- single fetch (the adapter seam) ----------------------------------
     def _fetch_one(self, url: str, attempts: int) -> dict:
         start = time.perf_counter()
@@ -220,24 +311,7 @@ class FetchStage:
             )
         key = None
         if self.cache_enabled:  # key derivation skipped entirely when off
-            parts = {
-                "adapter": self.adapter,
-                "customSelectors": self.custom_selectors or None,
-            }
-            if self.headers:  # absent ≈ reference's dropped-undefined
-                parts["headers"] = self.headers
-            if self.adapter == "crawl4ai" and getattr(
-                self.web, "crawl4ai_url", None
-            ):
-                # crawl4ai.ts:168-173: the cache key varies with
-                # (serverUrl, headless, userAgent, waitUntil)
-                parts["crawl4aiConfig"] = [
-                    self.web.crawl4ai_url,
-                    getattr(self.web, "crawl4ai_headless", True),
-                    getattr(self.web, "user_agent", None),
-                    getattr(self.web, "crawl4ai_wait_until", None),
-                ]
-            key = create_cache_key(self.adapter, url, [parts])
+            key = self.cache_key(url)
             if key in self.cache:
                 self.cache.move_to_end(key)
                 self.cache_hits += 1

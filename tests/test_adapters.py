@@ -78,6 +78,92 @@ def test_tree_cache_varies_by_custom_selectors():
     assert key_a != key_b  # tree.ts:110 — selectors vary the cache key
 
 
+def test_browser_cache_key_varies_by_launch_options():
+    """crawlee.ts:46-66 / tree.ts:101-121: every browser launch option
+    that can change the rendered page varies the cache key — headless,
+    userAgent, stealth, executablePath, and each cloak knob — while a
+    repeat with identical options keys identically."""
+    url = page_url(1, CFG)
+    base = dict(web_config=CFG, adapter="crawlee")
+    key0 = FetchStage(**base).cache_key(url)
+    assert FetchStage(**base).cache_key(url) == key0  # deterministic
+    variants = [
+        dict(headless=False),
+        dict(user_agent="UA/2"),
+        dict(stealth=True),
+        dict(executable_path="/opt/chromium"),
+        dict(cloak={"humanize": True}),
+        dict(cloak={"executablePath": "/opt/cloak-chromium"}),
+        dict(cloak={"autoUpdate": False}),
+    ]
+    keys = [FetchStage(**base, **v).cache_key(url) for v in variants]
+    assert len({key0, *keys}) == 1 + len(variants)  # all distinct
+    # the same options on the non-browser adapter do NOT vary its key
+    # (simple.ts keys only on url+headers)
+    s0 = FetchStage(web_config=CFG, adapter="simple").cache_key(url)
+    s1 = FetchStage(
+        web_config=CFG, adapter="simple", stealth=True, headless=False
+    ).cache_key(url)
+    assert s0 == s1
+
+
+def test_browser_executable_path_resolution(monkeypatch):
+    """browser-runner.ts:102-123 + env-config.test.ts:60-97: explicit
+    path (trimmed) wins; env fallbacks in declared order; stealth passes
+    includeEnvironment=False so the environment never leaks into a
+    stealth browser's identity (crawlee.ts:52-55)."""
+    from spider_ray.stages.fetch import resolve_browser_executable_path
+
+    monkeypatch.delenv("HAVE_SPIDER_BROWSER_EXECUTABLE_PATH", raising=False)
+    monkeypatch.delenv("PLAYWRIGHT_CHROMIUM_EXECUTABLE_PATH", raising=False)
+    assert resolve_browser_executable_path() is None
+    monkeypatch.setenv("PLAYWRIGHT_CHROMIUM_EXECUTABLE_PATH", "/usr/bin/chromium")
+    assert resolve_browser_executable_path() == "/usr/bin/chromium"
+    monkeypatch.setenv("HAVE_SPIDER_BROWSER_EXECUTABLE_PATH", " /opt/spider/chromium ")
+    assert resolve_browser_executable_path() == "/opt/spider/chromium"
+    assert (
+        resolve_browser_executable_path("  /custom/chromium  ")
+        == "/custom/chromium"
+    )
+    assert resolve_browser_executable_path(include_environment=False) is None
+
+    # cache-key consequence: env var varies a NON-stealth browser's key
+    # but not a stealth one's
+    url = page_url(1, CFG)
+    monkeypatch.delenv("HAVE_SPIDER_BROWSER_EXECUTABLE_PATH", raising=False)
+    monkeypatch.delenv("PLAYWRIGHT_CHROMIUM_EXECUTABLE_PATH", raising=False)
+    plain_before = FetchStage(web_config=CFG, adapter="crawlee").cache_key(url)
+    stealth_before = FetchStage(
+        web_config=CFG, adapter="crawlee", stealth=True
+    ).cache_key(url)
+    monkeypatch.setenv("HAVE_SPIDER_BROWSER_EXECUTABLE_PATH", "/opt/spider/chromium")
+    assert FetchStage(web_config=CFG, adapter="crawlee").cache_key(url) != plain_before
+    assert (
+        FetchStage(web_config=CFG, adapter="crawlee", stealth=True).cache_key(url)
+        == stealth_before
+    )
+
+
+def test_browser_options_isolate_persistent_cache(tmp_path):
+    """Two stages sharing one persistent cache dir but differing in a
+    cloak knob must not serve each other's cached renders."""
+    url = page_url(1, CFG)
+    a = FetchStage(web_config=CFG, adapter="crawlee", cache_dir=str(tmp_path))
+    a(_wave([url]))
+    assert a.fetches == 1
+    same = FetchStage(web_config=CFG, adapter="crawlee", cache_dir=str(tmp_path))
+    same(_wave([url]))
+    assert same.fetches == 0  # identical options → persistent hit
+    other = FetchStage(
+        web_config=CFG,
+        adapter="crawlee",
+        cache_dir=str(tmp_path),
+        cloak={"humanize": True},
+    )
+    other(_wave([url]))
+    assert other.fetches == 1  # cloak varies the key → miss
+
+
 def test_crawl4ai_markdown_and_service_links():
     pages, hrefs = _links_of("crawl4ai", 1)
     assert pages.column("markdown").to_pylist()[0].startswith("# Page 1")

@@ -110,3 +110,68 @@ def test_platform_registry_two_phase():
     # unresolved → ValidationError-style failure
     with pytest.raises(ValueError):
         reg.fetch_items({"url": "http://unknown.test"}, None, lambda u: None)
+
+
+def test_platform_registry_discover_options():
+    """discoverOptions extension point (platform/types.ts:84-88): the
+    resolved adapter may infer per-source configuration; explicit source
+    fields win over discovered ones; hook errors are logged + tolerated;
+    fetch_items(discover=True) feeds the merged source to fetch."""
+    from spider_ray.pipelines.scrape import create_adapter_context
+
+    reg = PlatformRegistry()
+    seen_ctx = []
+
+    def discover(url, ctx):
+        seen_ctx.append(ctx)
+        return {"folder": "/minutes", "filter": "pdf", "page_size": 50}
+
+    reg.register(
+        PlatformAdapter(
+            type="civicweb", name="CivicWeb", priority=50,
+            detect_url=lambda u: {"confidence": "high"} if "civicweb" in u else None,
+            discover_options=discover,
+            fetch=lambda src, ctx: [dict(src)],
+        )
+    )
+    ctx = create_adapter_context(web_config=CFG)
+    ctx.ai = object()  # untyped AI client passes through (context.ts:10)
+    src = {"url": "http://x.civicweb.net/a", "filter": "docx"}
+    merged = reg.discover_source_options(src, ctx, lambda u: None)
+    # discovered fills gaps, explicit source keys win
+    assert merged["folder"] == "/minutes" and merged["page_size"] == 50
+    assert merged["filter"] == "docx" and merged["url"] == src["url"]
+    assert seen_ctx[0] is ctx  # the hook received the bound context
+
+    # fetch_items(discover=True) routes the merged source into fetch
+    items = reg.fetch_items(src, ctx, lambda u: None, discover=True)
+    assert items[0]["folder"] == "/minutes" and items[0]["filter"] == "docx"
+    # default discover=False keeps the r1-r3 behavior: source untouched
+    assert "folder" not in reg.fetch_items(src, ctx, lambda u: None)[0]
+
+    # adapters without the hook pass through unchanged
+    reg.register(
+        PlatformAdapter(
+            type="plain", name="Plain", priority=10,
+            detect_url=lambda u: {"confidence": "high"} if "plain" in u else None,
+            fetch=lambda s, c: [dict(s)],
+        )
+    )
+    plain_src = {"url": "http://plain.test/x"}
+    assert reg.discover_source_options(plain_src, ctx, lambda u: None) == plain_src
+
+    # a throwing hook is logged and tolerated (registry.ts:98-104 contract)
+    logs = []
+    ctx_logged = create_adapter_context(web_config=CFG)
+    ctx_logged.log = lambda msg, meta=None: logs.append((msg, meta))
+    reg.register(
+        PlatformAdapter(
+            type="flaky", name="Flaky", priority=5,
+            detect_url=lambda u: {"confidence": "high"} if "flaky" in u else None,
+            discover_options=lambda u, c: (_ for _ in ()).throw(RuntimeError("boom")),
+            fetch=lambda s, c: [dict(s)],
+        )
+    )
+    fsrc = {"url": "http://flaky.test/x"}
+    assert reg.discover_source_options(fsrc, ctx_logged, lambda u: None) == fsrc
+    assert logs and logs[0][1]["type"] == "flaky"
