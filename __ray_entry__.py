@@ -1923,6 +1923,49 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _q_redact_pii(sf_dir: str) -> pa.Table:
+    """PII-style pattern redaction (pipelines.curation.redact_patterns):
+    sequential replace with <NAME> placeholders + total replacement
+    count, all Arrow C++ RE2 kernels (count_substring_regex /
+    replace_substring_regex — zero Python per row, map-only, no
+    shuffle). The corpus carries no literal PII, so the query redacts
+    two live patterns through the same machinery plus the EMAIL pattern
+    (exercising the zero-match path); the oracle is the identical
+    nested regexp_replace(..., 'g') chain — DuckDB is RE2 too, so the
+    redacted TEXT itself value-hashes, not just the counts."""
+    _ctx()
+    from spider_ray.pipelines.curation import PII_PATTERNS, redact_patterns
+
+    ds = redact_patterns(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        {
+            "EMAIL": PII_PATTERNS["email_n"],
+            "THE": r"\bthe\b",
+            "LONGWORD": r"[a-z]{6,}",
+        },
+    )
+    return _collect(ds).sort_by("doc_id")
+
+
+_SQL_REDACT_PII = r"""
+WITH s0 AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+s1 AS (SELECT doc_id,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS c1,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+       FROM s0),
+s2 AS (SELECT doc_id, c1,
+         len(regexp_extract_all(t, '\bthe\b'))::BIGINT AS c2,
+         regexp_replace(t, '\bthe\b', '<THE>', 'g') AS t
+       FROM s1),
+s3 AS (SELECT doc_id, c1, c2,
+         len(regexp_extract_all(t, '[a-z]{6,}'))::BIGINT AS c3,
+         regexp_replace(t, '[a-z]{6,}', '<LONGWORD>', 'g') AS t
+       FROM s2)
+SELECT doc_id, t AS redacted_text, (c1 + c2 + c3)::BIGINT AS n_redactions
+FROM s3 ORDER BY doc_id
+"""
+
+
 def _q_fingerprints(sf_dir: str) -> pa.Table:
     """Winnowing-style 64-bit document fingerprints (min of stepped md5
     window hashes). Oracle: exact SQL replica — DuckDB md5 over the same
@@ -4994,6 +5037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_signals": _q_repetition_signals,
         "decontaminate_docs": _q_decontaminate,
         "pattern_counts": _q_pattern_counts,
+        "redact_pii": _q_redact_pii,
         "events_user_rank": _q_events_user_rank,
         "full_outer_counts": _q_full_outer_counts,
         "dup_window_stats": _q_dup_window_stats,
@@ -5127,6 +5171,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": _SQL_REPETITION_SIGNALS,
         "decontaminate_docs": _SQL_DECONTAMINATE,
         "pattern_counts": _SQL_PATTERN_COUNTS,
+        "redact_pii": _SQL_REDACT_PII,
         "dup_window_stats": _SQL_DUP_WINDOW_STATS,
         "aspect_buckets": _SQL_ASPECT_BUCKETS,
         "events_user_rank": _SQL_EVENTS_USER_RANK,

@@ -166,6 +166,57 @@ PII_PATTERNS = {
 }
 
 
+def redact_patterns(
+    ds,
+    patterns: dict[str, str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """PII redaction (the C4/Dolma-style scrub): each named pattern's
+    matches are replaced by its ``<NAME>`` placeholder, in declared
+    order, and the total replacement count is reported per document.
+    Map-only and fully vectorized — ``pc.count_substring_regex`` +
+    ``pc.replace_substring_regex`` are Arrow C++ RE2 kernels, no Python
+    per row, so the stage streams at decompression speed and never
+    shuffles. Pattern application is sequential (a later pattern sees
+    earlier placeholders), mirrored exactly by the nested
+    ``regexp_replace(..., 'g')`` chain in the SQL oracle (DuckDB is also
+    RE2 — dialect-identical patterns).
+
+    Output: (id, redacted_text, n_redactions)."""
+    pats = patterns if patterns is not None else REDACT_PATTERNS
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch.column(text_col), "")
+        total = pa.array([0] * batch.num_rows, pa.int64())
+        for name, pat in pats.items():
+            counts = pc.count_substring_regex(col, pattern=pat)
+            total = pc.add(total, counts.cast(pa.int64()))
+            col = pc.replace_substring_regex(
+                col, pattern=pat, replacement=f"<{name}>"
+            )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "redacted_text": col,
+                "n_redactions": total,
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+# redaction order matters (a later pattern scans the already-redacted
+# text); SSN-shaped before the looser phone shape so 123-45-6789 never
+# half-matches as a phone number
+REDACT_PATTERNS = {
+    "EMAIL": PII_PATTERNS["email_n"],
+    "IPV4": PII_PATTERNS["ipv4_n"],
+    "SSN": PII_PATTERNS["ssn_shaped_n"],
+    "PHONE": PII_PATTERNS["phone_n"],
+}
+
+
 def pack_documents(ds, id_col: str = "doc_id", seq_len: int = 512,
                    text_col: str = "text"):
     """Sequence packing for training-data assembly: documents ordered by

@@ -186,6 +186,32 @@ def test_weighted_mixture_rates(ray_session):
     assert 0.3 * (n // 3) < per.get("half", 0) < 0.7 * (n // 3)
 
 
+def test_redact_patterns_pii_defaults(ray_session):
+    """Default REDACT_PATTERNS scrub: placeholders in, counts right,
+    SSN-shaped matched before the looser phone shape, nulls safe."""
+    from spider_ray.pipelines.curation import redact_patterns
+
+    docs = _docs(
+        [
+            "mail a@b.io or c.d+x@e.co.uk now",
+            "host 10.0.0.1 ssn 123-45-6789 phone 555-123-4567",
+            "clean text",
+            None,
+        ]
+    )
+    out = _by_id(_collect(redact_patterns(docs)))
+    assert out[0]["redacted_text"] == "mail <EMAIL> or <EMAIL> now"
+    assert out[0]["n_redactions"] == 2
+    assert (
+        out[1]["redacted_text"]
+        == "host <IPV4> ssn <SSN> phone <PHONE>"
+    )
+    assert out[1]["n_redactions"] == 3
+    assert out[2]["redacted_text"] == "clean text"
+    assert out[2]["n_redactions"] == 0
+    assert out[3]["redacted_text"] == "" and out[3]["n_redactions"] == 0
+
+
 def test_normalize_text_kernels(ray_session):
     from spider_ray.pipelines.curation import normalize_text
 
