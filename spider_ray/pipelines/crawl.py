@@ -125,6 +125,11 @@ class CrawlConfig:
     dedup_concurrency: int = 2
     retry_max_attempts: int = 1
     respect_robots: bool = False
+    # Crawl-delay → per-host tokens: a wave models this many seconds of
+    # polite wall-clock, so Crawl-delay: d grants floor(period/d) tokens
+    # per wave (state/politeness.py budget_for)
+    politeness_wave_period_s: float = 60.0
+    robots_agent: str = "*"
     driver_wave_threshold: int = 200_000  # frontier rows above this → Dataset path
     keep_page_content: bool = False  # drop big HTML from the pages sink by default
     # 'pool'   — persistent fetch actors reused across waves (amortizes
@@ -1082,6 +1087,8 @@ def run_crawl(config: CrawlConfig, resume: bool = False) -> CrawlResult:
     politeness = PolitenessPool.create(
         n_actors=max(1, config.n_seen_shards // 2),
         budget_per_wave=config.max_per_host_per_wave,
+        wave_period_s=config.politeness_wave_period_s,
+        agent=config.robots_agent,
     )
     web = MockWeb(config.web)
     # cap the pool to schedulable CPUs — an over-requested actor never
@@ -1208,6 +1215,34 @@ def run_crawl(config: CrawlConfig, resume: bool = False) -> CrawlResult:
             politeness.ensure_robots(hosts, web.robots_txt)
             allowed = politeness.allowed(hosts, urls)
             wave_rest = wave_rest.filter(pa.array(allowed))
+            # Crawl-delay hosts: keep the first budget_h rows (wave order
+            # = priority order) and DEFER the overflow to the next wave —
+            # a rate directive delays pages, it never drops them
+            caps = politeness.delay_caps(
+                [h for h, a in zip(hosts, allowed) if a]
+            )
+            if any(c is not None for c in caps.values()):
+                kept_hosts = wave_rest.column("host").to_pylist()
+                keep = np.ones(len(kept_hosts), dtype=bool)
+                used: dict[str, int] = {}
+                for i, h in enumerate(kept_hosts):
+                    cap = caps.get(h)
+                    if cap is None:
+                        continue
+                    k = used.get(h, 0)
+                    if k >= cap:
+                        keep[i] = False
+                    else:
+                        used[h] = k + 1
+                if not keep.all():
+                    mask = pa.array(keep)
+                    overflow = (
+                        wave_rest.filter(pc.invert(mask))
+                        .select(FRONTIER_SCHEMA.names)
+                        .cast(FRONTIER_SCHEMA)
+                    )
+                    wave_rest = wave_rest.filter(mask)
+                    deferred = deferred.with_extra(overflow)
         # the full wave = previously-speculated rows (already fetching in
         # the worker mailboxes) ++ the freshly cut remainder
         wave = (

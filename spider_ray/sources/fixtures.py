@@ -49,6 +49,9 @@ class MockWebConfig:
     with_detector_pages: bool = False
     with_external_links: bool = False
     with_private: bool = False
+    # >0 → h1.test's robots.txt declares Crawl-delay: <this many seconds>
+    # (exercises the per-host delay→token-budget politeness path)
+    crawl_delay_s: float = 0.0
     # browser-only content: pages with i % 11 == 5 hide an extra link behind
     # an expandable element — NOT present in the served HTML; only revealed
     # via the expansion interaction (MockWeb.expand), mirroring the
@@ -208,9 +211,14 @@ class MockWeb:
         self.cfg = cfg
 
     def robots_txt(self, host: str) -> str | None:
+        lines = []
         if self.cfg.with_private:
-            return "User-agent: *\nDisallow: /private/\n"
-        return None
+            lines.append("Disallow: /private/")
+        if self.cfg.crawl_delay_s > 0 and host == "h1.test":
+            lines.append(f"Crawl-delay: {self.cfg.crawl_delay_s:g}")
+        if not lines:
+            return None
+        return "User-agent: *\n" + "\n".join(lines) + "\n"
 
     def resolve(self, url: str, attempts: int = 0) -> MockResponse:
         cfg = self.cfg

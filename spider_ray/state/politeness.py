@@ -36,25 +36,67 @@ def host_shard(host: str, n_actors: int) -> int:
 class HostBudgetState:
     """Plain state — unit-testable without Ray."""
 
-    def __init__(self, budget_per_wave: int):
+    def __init__(
+        self,
+        budget_per_wave: int,
+        wave_period_s: float = 60.0,
+        agent: str = "*",
+    ):
         self.budget_per_wave = budget_per_wave
+        # Crawl-delay → token mapping: a wave models wave_period_s of
+        # polite wall-clock, so a host declaring Crawl-delay: d gets
+        # floor(wave_period_s / d) tokens per wave (>=1, capped by the
+        # global budget). Deterministic — no sleeps — which keeps crawl
+        # ordering reproducible while honoring the directive's RATE.
+        self.wave_period_s = wave_period_s
+        self.agent = agent
         self.tokens: dict[str, int] = {}
         self.robots: dict[str, urllib.robotparser.RobotFileParser | None] = {}
+        self._budget_cache: dict[str, int] = {}
 
     def begin_wave(self) -> None:
         self.tokens.clear()  # fresh budget each wave
+
+    def delay_budget(self, host: str) -> int | None:
+        """floor(wave_period_s / Crawl-delay) tokens (>=1, capped by the
+        global budget) when the host's robots declare a delay for our
+        agent; None when no directive applies."""
+        parser = self.robots.get(host)
+        if parser is None:
+            return None
+        delay = parser.crawl_delay(self.agent)
+        try:
+            delay = float(delay) if delay is not None else None
+        except (TypeError, ValueError):
+            delay = None
+        if not delay or delay <= 0:
+            return None
+        return max(1, min(self.budget_per_wave, int(self.wave_period_s / delay)))
+
+    def budget_for(self, host: str) -> int:
+        """Per-host wave budget, honoring robots Crawl-delay when the
+        host declared one for our agent (else the global budget)."""
+        cached = self._budget_cache.get(host)
+        if cached is not None:
+            return cached
+        budget = self.delay_budget(host)
+        if budget is None:
+            budget = self.budget_per_wave
+        self._budget_cache[host] = budget
+        return budget
 
     def acquire(self, hosts: list[str]) -> np.ndarray:
         """Grant/deny one token per row, in order (deterministic)."""
         out = np.zeros(len(hosts), dtype=bool)
         for i, h in enumerate(hosts):
             used = self.tokens.get(h, 0)
-            if used < self.budget_per_wave:
+            if used < self.budget_for(h):
                 self.tokens[h] = used + 1
                 out[i] = True
         return out
 
     def set_robots(self, host: str, robots_txt: str | None) -> None:
+        self._budget_cache.pop(host, None)  # delay may have changed
         if robots_txt is None:
             self.robots[host] = None
             return
@@ -76,8 +118,13 @@ class HostBudgetState:
 
 @ray.remote(num_cpus=0.1)
 class HostBudgetActor:
-    def __init__(self, budget_per_wave: int):
-        self.state = HostBudgetState(budget_per_wave)
+    def __init__(
+        self,
+        budget_per_wave: int,
+        wave_period_s: float = 60.0,
+        agent: str = "*",
+    ):
+        self.state = HostBudgetState(budget_per_wave, wave_period_s, agent)
 
     def begin_wave(self) -> None:
         self.state.begin_wave()
@@ -94,6 +141,9 @@ class HostBudgetActor:
     def allowed(self, host: str, urls: list[str], agent: str = "*") -> np.ndarray:
         return self.state.allowed(host, urls, agent)
 
+    def delay_budgets(self, hosts: list[str]) -> list:
+        return [self.state.delay_budget(h) for h in hosts]
+
 
 class PolitenessPool:
     """Client over the host-budget actors (serializable: handles only)."""
@@ -104,8 +154,20 @@ class PolitenessPool:
         self.agent = agent
 
     @classmethod
-    def create(cls, n_actors: int = 4, budget_per_wave: int = 64) -> "PolitenessPool":
-        return cls([HostBudgetActor.remote(budget_per_wave) for _ in range(n_actors)])
+    def create(
+        cls,
+        n_actors: int = 4,
+        budget_per_wave: int = 64,
+        wave_period_s: float = 60.0,
+        agent: str = "*",
+    ) -> "PolitenessPool":
+        return cls(
+            [
+                HostBudgetActor.remote(budget_per_wave, wave_period_s, agent)
+                for _ in range(n_actors)
+            ],
+            agent=agent,
+        )
 
     def begin_wave(self) -> None:
         ray.get([a.begin_wave.remote() for a in self.actors])
@@ -143,6 +205,22 @@ class PolitenessPool:
             for h in ray.get(ref):
                 sets.append((s, h, fetch_robots(h)))
         ray.get([self.actors[s].set_robots.remote(h, txt) for s, h, txt in sets])
+
+    def delay_caps(self, hosts: list[str]) -> dict:
+        """host → Crawl-delay wave budget (None = no directive), for the
+        distinct hosts given. One round-trip per owning actor."""
+        uniq = sorted(set(hosts))
+        by_actor: dict[int, list[str]] = {}
+        for h in uniq:
+            by_actor.setdefault(host_shard(h, self.n), []).append(h)
+        refs = [
+            (hs, self.actors[s].delay_budgets.remote(hs))
+            for s, hs in by_actor.items()
+        ]
+        out: dict = {}
+        for hs, ref in refs:
+            out.update(zip(hs, ray.get(ref)))
+        return out
 
     def allowed(self, hosts: list[str], urls: list[str]) -> np.ndarray:
         if not urls:

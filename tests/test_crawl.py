@@ -325,6 +325,39 @@ def test_robots_respected_end_to_end(ray_session, tmp_path):
     assert any("/p/" in u for u in fetched)
 
 
+def test_crawl_delay_budgets_end_to_end(ray_session, tmp_path):
+    """A host declaring Crawl-delay gets floor(period/delay) fetches per
+    wave while other hosts run at the full budget; the throttled host's
+    overflow defers to later waves, not oblivion (the crawl still
+    completes its reachable universe)."""
+    import collections
+
+    cfg = MockWebConfig(n_pages=80, n_hosts=7, crawl_delay_s=15.0)
+    config = CrawlConfig(
+        out_dir=str(tmp_path / "delay"), seeds=seed_urls(cfg, every=20),
+        web=cfg, wave_k=10_000, exact_seen=True, fetch_concurrency=2,
+        respect_robots=True, politeness_wave_period_s=60.0,
+        max_per_host_per_wave=1000, max_epochs=64,
+    )
+    result = run_crawl(config)
+    order = EpochStore(config.out_dir).read_all("order")
+    per_epoch_host = collections.Counter()
+    for epoch, url in zip(
+        order.column("epoch").to_pylist(), order.column("url").to_pylist()
+    ):
+        host = url.split("://", 1)[1].split("/", 1)[0]
+        per_epoch_host[(epoch, host)] += 1
+    h1 = {k: v for k, v in per_epoch_host.items() if k[1] == "h1.test"}
+    others = {k: v for k, v in per_epoch_host.items() if k[1] != "h1.test"}
+    assert h1, "throttled host never fetched"
+    assert max(h1.values()) <= 4  # floor(60/15)
+    assert max(others.values()) > 4  # untouched hosts beat the delay cap
+    # deferred rows eventually fetched: every h1 page in the BFS universe
+    h1_total = sum(h1.values())
+    assert h1_total >= 80 // 7  # at least its share of /p/ pages
+    assert result.pages_fetched == order.num_rows
+
+
 def test_lineage_metrics_recorded(small_crawl):
     _, config, result = small_crawl
     lineage = EpochStore(config.out_dir).read_all("lineage")

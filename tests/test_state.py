@@ -72,6 +72,36 @@ def test_robots_parsing():
     assert st.allowed("open.test", ["http://open.test/anything"]).tolist() == [True]
 
 
+def test_robots_crawl_delay_scales_budget():
+    """Crawl-delay: d → floor(wave_period_s / d) tokens per wave
+    (>=1, capped by the global budget), per agent, deterministic."""
+    st = HostBudgetState(budget_per_wave=10, wave_period_s=60.0)
+    st.set_robots("slow.test", "User-agent: *\nCrawl-delay: 20\n")
+    st.set_robots("fast.test", "User-agent: *\nCrawl-delay: 0.5\n")
+    st.set_robots("plain.test", "User-agent: *\nDisallow:\n")
+    assert st.budget_for("slow.test") == 3      # 60/20
+    assert st.budget_for("fast.test") == 10     # 120, capped at global
+    assert st.budget_for("plain.test") == 10    # no directive
+    assert st.budget_for("unknown.test") == 10  # robots not fetched yet
+    got = st.acquire(["slow.test"] * 5)
+    assert got.tolist() == [True, True, True, False, False]
+    st.begin_wave()  # budget refreshes per wave
+    assert st.acquire(["slow.test"]).tolist() == [True]
+    # a glacial delay still grants one token (progress guarantee)
+    st.set_robots("glacial.test", "User-agent: *\nCrawl-delay: 100000\n")
+    assert st.budget_for("glacial.test") == 1
+    # re-fetching robots invalidates the cached budget
+    st.set_robots("slow.test", "User-agent: *\nCrawl-delay: 6\n")
+    assert st.budget_for("slow.test") == 10
+    # agent-specific delay wins for the matching agent
+    bot = HostBudgetState(budget_per_wave=10, wave_period_s=60.0, agent="spiderbot")
+    bot.set_robots(
+        "h.test",
+        "User-agent: spiderbot\nCrawl-delay: 30\n\nUser-agent: *\nCrawl-delay: 1\n",
+    )
+    assert bot.budget_for("h.test") == 2        # 60/30 for spiderbot
+
+
 def test_link_frontier_survives_source_deletion(tmp_path):
     """Checkpointed frontier partitions are hardlinks: deleting the
     transient source dir (next-wave cleanup) must not lose checkpoint data."""
