@@ -1923,6 +1923,40 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _q_sitemap_seeds(sf_dir: str) -> pa.Table:
+    """Sitemap seed discovery (stages.sitemap_seeds.SitemapStage): an
+    actor-pool stage fetches each host's /sitemap.xml through the fetch
+    resolver seam, recurses one level into the sitemapindex shards, and
+    explodes the urlsets into seed rows with the site's declared
+    priority/lastmod. Oracle: the fixture inventory is closed-form —
+    host h declares pages i = h + 7j (j < 500) with priority
+    0.(5 + i%5) — so plain SQL regenerates every row including the
+    literal priority strings."""
+    _ctx()
+    from spider_ray.sources.fixtures import MockWebConfig
+    from spider_ray.stages.sitemap_seeds import sitemap_seed_frontier
+
+    n_pages = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    cfg = MockWebConfig(
+        n_pages=n_pages, n_hosts=CRAWL_HOSTS, with_sitemaps=True
+    )
+    out = _collect(sitemap_seed_frontier(cfg))
+    return out.sort_by("url")
+
+
+_SQL_SITEMAP_SEEDS = """
+SELECT 'http://h' || (i % 7)::VARCHAR || '.test/p/' || i::VARCHAR AS url,
+       'h' || (i % 7)::VARCHAR || '.test' AS host,
+       '0.' || (5 + (i % 5))::VARCHAR AS sitemap_priority,
+       '2026-01-01' AS lastmod
+FROM (
+  SELECT unnest(range((SELECT count(*) FROM documents))) AS i
+)
+WHERE (i // 7) < 500
+ORDER BY url
+"""
+
+
 def _q_redact_pii(sf_dir: str) -> pa.Table:
     """PII-style pattern redaction (pipelines.curation.redact_patterns):
     sequential replace with <NAME> placeholders + total replacement
@@ -5038,6 +5072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": _q_decontaminate,
         "pattern_counts": _q_pattern_counts,
         "redact_pii": _q_redact_pii,
+        "sitemap_seeds": _q_sitemap_seeds,
         "events_user_rank": _q_events_user_rank,
         "full_outer_counts": _q_full_outer_counts,
         "dup_window_stats": _q_dup_window_stats,
@@ -5172,6 +5207,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_docs": _SQL_DECONTAMINATE,
         "pattern_counts": _SQL_PATTERN_COUNTS,
         "redact_pii": _SQL_REDACT_PII,
+        "sitemap_seeds": _SQL_SITEMAP_SEEDS,
         "dup_window_stats": _SQL_DUP_WINDOW_STATS,
         "aspect_buckets": _SQL_ASPECT_BUCKETS,
         "events_user_rank": _SQL_EVENTS_USER_RANK,

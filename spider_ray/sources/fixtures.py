@@ -52,6 +52,11 @@ class MockWebConfig:
     # >0 → h1.test's robots.txt declares Crawl-delay: <this many seconds>
     # (exercises the per-host delay→token-budget politeness path)
     crawl_delay_s: float = 0.0
+    # serve /sitemap.xml (a 2-shard sitemapindex) per host; each shard
+    # lists the host's /p/ pages with closed-form priority/lastmod —
+    # capped at sitemap_cap entries per host (real sitemaps cap at 50k)
+    with_sitemaps: bool = False
+    sitemap_cap: int = 500
     # browser-only content: pages with i % 11 == 5 hide an extra link behind
     # an expandable element — NOT present in the served HTML; only revealed
     # via the expansion interaction (MockWeb.expand), mirroring the
@@ -220,6 +225,49 @@ class MockWeb:
             return None
         return "User-agent: *\n" + "\n".join(lines) + "\n"
 
+    def sitemap_index_xml(self, host: str) -> str:
+        """Two-shard sitemapindex (exercises index recursion)."""
+        locs = "".join(
+            f"<sitemap><loc>http://{host}/sitemap-{k}.xml</loc></sitemap>"
+            for k in (0, 1)
+        )
+        return (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            f"{locs}</sitemapindex>"
+        )
+
+    def sitemap_urlset_xml(self, host: str, shard: int) -> str:
+        """Closed-form urlset: host ``h``'s pages ``i = h + n_hosts*j``
+        for ``j < sitemap_cap``, shard by ``j % 2``; priority
+        ``0.(5 + i%5)``, fixed lastmod — all SQL-reproducible."""
+        cfg = self.cfg
+        h = _host_id(host)
+        if h is None or h >= cfg.n_hosts:
+            h = None
+        entries = []
+        if h is None:
+            return (
+                '<?xml version="1.0" encoding="UTF-8"?>'
+                '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                "</urlset>"
+            )
+        for j in range(shard, cfg.sitemap_cap, 2):
+            i = h + cfg.n_hosts * j
+            if i >= cfg.n_pages:
+                break
+            entries.append(
+                f"<url><loc>{page_url(i, cfg)}</loc>"
+                f"<lastmod>2026-01-01</lastmod>"
+                f"<priority>0.{5 + (i % 5)}</priority></url>"
+            )
+        return (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            + "".join(entries)
+            + "</urlset>"
+        )
+
     def resolve(self, url: str, attempts: int = 0) -> MockResponse:
         cfg = self.cfg
         try:
@@ -236,6 +284,20 @@ class MockWeb:
             if txt is None:
                 return MockResponse(url, url, 404, "text/plain", content="")
             return MockResponse(url, url, 200, "text/plain", content=txt)
+
+        if cfg.with_sitemaps and path == "/sitemap.xml":
+            return MockResponse(
+                url, url, 200, "application/xml",
+                content=self.sitemap_index_xml(host),
+            )
+        if cfg.with_sitemaps and path.startswith("/sitemap-") and path.endswith(".xml"):
+            shard = _int_tail(path[len("/sitemap-"):-len(".xml")])
+            if shard is None or shard not in (0, 1):
+                return MockResponse(url, url, 404, "text/plain", content="")
+            return MockResponse(
+                url, url, 200, "application/xml",
+                content=self.sitemap_urlset_xml(host, shard),
+            )
 
         if path.startswith("/r/") and cfg.with_redirects:
             i = _int_tail(path[3:])
