@@ -303,6 +303,11 @@ def run_scaling() -> dict:
         "dedup_checks_per_sec_lo_iso": lo_iso["dedup_checks_per_sec"],
         "dedup_checks_per_sec_hi": hi["dedup_checks_per_sec"],
         "sf": lo_raw["sf"],
+        # per-leg host state (see BASELINE.md "Host state": the VM has
+        # hypervisor memory-throttling windows; healthy probe ~0.1 s)
+        "host_probe_lo_raw": lo_raw["host_probe_sec"],
+        "host_probe_lo_iso": lo_iso["host_probe_sec"],
+        "host_probe_hi": hi["host_probe_sec"],
     }
 
 
