@@ -79,6 +79,49 @@ def test_sitemap_seed_frontier_dataset(ray_session):
     assert set(out.column("lastmod").to_pylist()) == {"2026-01-01"}
 
 
+def test_parse_sitemap_roundtrip_property():
+    """Property: any urlset built from generated entries parses back to
+    exactly those entries (trimmed), regardless of field presence."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    field = st.one_of(st.none(), st.text(
+        alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+        min_size=1, max_size=20,
+    ).map(lambda s: s.strip()).filter(lambda s: s))
+    loc = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789:/._-", min_size=1,
+        max_size=40,
+    )
+    entry = st.fixed_dictionaries(
+        {"loc": loc, "lastmod": field, "changefreq": field, "priority": field}
+    )
+
+    @given(st.lists(entry, max_size=10))
+    @settings(max_examples=50, deadline=None)
+    def check(entries):
+        from xml.sax.saxutils import escape
+
+        parts = []
+        for e in entries:
+            fields = "".join(
+                f"<{k}>{escape(v)}</{k}>"
+                for k, v in e.items()
+                if v is not None
+            )
+            parts.append(f"<url>{fields}</url>")
+        xml = (
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            + "".join(parts)
+            + "</urlset>"
+        )
+        got = parse_sitemap(xml)
+        assert got["sitemaps"] == []
+        assert got["urls"] == entries
+
+    check()
+
+
 def test_crawl_seeded_from_sitemaps(ray_session, tmp_path):
     """A crawl seeded from the sitemap inventory covers the universe in
     ONE epoch (every page is a seed) — the discovery-free fast path."""
