@@ -1923,6 +1923,63 @@ FROM documents ORDER BY doc_id
 """
 
 
+_RECRAWL_CACHE: dict[str, str] = {}
+
+
+def _q_recrawl_diff(sf_dir: str) -> pa.Table:
+    """Day-2 recrawl change detection (pipelines.recrawl.recrawl_diff):
+    two crawl runs of the same universe — the second with
+    content_version=1, which edits the body text of pages with
+    id % 10 == 0 — fingerprinted per side (vectorized md5 over extracted
+    text), hash-partitioned on url_hash64, full-outer bucketed join, and
+    classified added/removed/changed/unchanged. Oracle: the BFS closure
+    is closed-form, and so is which pages changed."""
+    _ctx()
+    import hashlib as _hl
+
+    from spider_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from spider_ray.pipelines.recrawl import recrawl_diff
+    from spider_ray.sources.fixtures import MockWebConfig, seed_urls
+
+    if sf_dir not in _RECRAWL_CACHE:
+        n_pages = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+        tag = _hl.md5(sf_dir.encode()).hexdigest()[:12]
+        dirs = []
+        for version in (0, 1):
+            cfg = MockWebConfig(
+                n_pages=n_pages,
+                n_hosts=CRAWL_HOSTS,
+                img_every=CRAWL_IMG_EVERY,
+                content_version=version,
+            )
+            out_dir = f"/tmp/spider_ray_recrawl/{tag}-v{version}"
+            if os.path.exists(out_dir):
+                shutil.rmtree(out_dir)
+            run_crawl(
+                CrawlConfig(
+                    out_dir=out_dir,
+                    seeds=seed_urls(cfg, every=CRAWL_SEED_EVERY),
+                    web=cfg,
+                    wave_k=1_000_000,
+                    exact_seen=True,
+                    fetch_concurrency=4,
+                )
+            )
+            dirs.append(out_dir)
+        _RECRAWL_CACHE[sf_dir] = ":".join(dirs)
+    old_dir, new_dir = _RECRAWL_CACHE[sf_dir].split(":")
+    return _collect(recrawl_diff(old_dir, new_dir)).sort_by("url")
+
+
+_SQL_RECRAWL_DIFF = _CLOSURE_SQL + r"""
+SELECT url,
+       CASE WHEN regexp_extract(url, '/p/(\d+)$', 1) <> ''
+                 AND regexp_extract(url, '/p/(\d+)$', 1)::BIGINT % 10 = 0
+            THEN 'changed' ELSE 'unchanged' END AS change_type
+FROM crawl_nodes ORDER BY url
+"""
+
+
 def _q_sitemap_seeds(sf_dir: str) -> pa.Table:
     """Sitemap seed discovery (stages.sitemap_seeds.SitemapStage): an
     actor-pool stage fetches each host's /sitemap.xml through the fetch
@@ -5073,6 +5130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pattern_counts": _q_pattern_counts,
         "redact_pii": _q_redact_pii,
         "sitemap_seeds": _q_sitemap_seeds,
+        "recrawl_diff": _q_recrawl_diff,
         "events_user_rank": _q_events_user_rank,
         "full_outer_counts": _q_full_outer_counts,
         "dup_window_stats": _q_dup_window_stats,
@@ -5208,6 +5266,7 @@ def oracle_sql() -> dict[str, str]:
         "pattern_counts": _SQL_PATTERN_COUNTS,
         "redact_pii": _SQL_REDACT_PII,
         "sitemap_seeds": _SQL_SITEMAP_SEEDS,
+        "recrawl_diff": _SQL_RECRAWL_DIFF,
         "dup_window_stats": _SQL_DUP_WINDOW_STATS,
         "aspect_buckets": _SQL_ASPECT_BUCKETS,
         "events_user_rank": _SQL_EVENTS_USER_RANK,

@@ -57,6 +57,10 @@ class MockWebConfig:
     # capped at sitemap_cap entries per host (real sitemaps cap at 50k)
     with_sitemaps: bool = False
     sitemap_cap: int = 500
+    # day-2 recrawl simulation: version > 0 changes the body text of
+    # pages with i % change_every == 0 (closed form for the diff oracle)
+    content_version: int = 0
+    change_every: int = 10
     # browser-only content: pages with i % 11 == 5 hide an extra link behind
     # an expandable element — NOT present in the served HTML; only revealed
     # via the expansion interaction (MockWeb.expand), mirroring the
@@ -199,11 +203,16 @@ def page_html(i: int, cfg: MockWebConfig) -> str:
         links.append('<button aria-expanded="false" class="accordion-header">more…</button>')
         links.append('<a href="#">menu</a>')  # anchor-skip heuristic target
     body = "\n".join(links)
+    revision = (
+        f"<p>revision {cfg.content_version}</p>\n"
+        if cfg.content_version > 0 and i % cfg.change_every == 0
+        else ""
+    )
     return (
         f"<html><head><title>Page {i}</title>"
         f'<meta name="description" content="fixture page {i} host {i % cfg.n_hosts}">'
         f"</head><body><h1>Page {i}</h1>\n"
-        f"<p>fixture body text for page {i} the quick brown fox</p>\n{body}\n"
+        f"<p>fixture body text for page {i} the quick brown fox</p>\n{revision}{body}\n"
         "</body></html>"
     )
 
