@@ -45,11 +45,25 @@ def _cmd_crawl(args: argparse.Namespace) -> int:
     from spider_ray.sources.fixtures import MockWebConfig, seed_urls
 
     _init_ray()
-    web = MockWebConfig(n_pages=args.pages)
+    web = MockWebConfig(n_pages=args.pages, with_sitemaps=args.seed_from_sitemaps)
+    if args.seed_from_sitemaps:
+        # declared-inventory seeding: explode every host's sitemap into
+        # the seed list instead of the every-Nth sample
+        from spider_ray.stages.sitemap_seeds import sitemap_seed_frontier
+
+        seeds = sorted(
+            r["url"]
+            for b in sitemap_seed_frontier(web).iter_batches(
+                batch_format="pyarrow"
+            )
+            for r in b.to_pylist()
+        )
+    else:
+        seeds = seed_urls(web, every=args.seeds_every)
     n_shards = max(4, args.workers // 2)
     config = CrawlConfig(
         out_dir=args.out,
-        seeds=seed_urls(web, every=args.seeds_every),
+        seeds=seeds,
         web=web,
         wave_k=args.wave_k,
         exact_seen=not args.scale_mode,
@@ -109,6 +123,25 @@ def _cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_diff(args: argparse.Namespace) -> int:
+    """Day-2 recrawl diff between two crawl output dirs → change-type
+    counts (one JSON line) + optional parquet of the full (url,
+    change_type) table."""
+    from spider_ray.pipelines.recrawl import recrawl_diff
+
+    _init_ray()
+    ds = recrawl_diff(args.old, args.new)
+    if args.out:
+        ds = ds.materialize()
+        ds.write_parquet(args.out)
+    counts: dict[str, int] = {}
+    for batch in ds.iter_batches(batch_format="pyarrow"):
+        for kind in batch.column("change_type").to_pylist():
+            counts[kind] = counts.get(kind, 0) + 1
+    print(json.dumps({"old": args.old, "new": args.new, "counts": counts}))
+    return 0
+
+
 def _cmd_bench(args: argparse.Namespace) -> int:
     import os
     import runpy
@@ -146,7 +179,23 @@ def main(argv: list[str] | None = None) -> int:
         help="cuckoo-only seen set + bloom pre-filter + split-wave "
         "pipelining (conformance default: exact seen, strict barriers)",
     )
+    c.add_argument(
+        "--seed-from-sitemaps",
+        action="store_true",
+        help="seed from every host's declared sitemap inventory instead "
+        "of the every-Nth page sample",
+    )
     c.set_defaults(fn=_cmd_crawl)
+
+    d = sub.add_parser(
+        "diff", help="day-2 recrawl diff between two crawl output dirs"
+    )
+    d.add_argument("--old", required=True)
+    d.add_argument("--new", required=True)
+    d.add_argument("--out", default=None,
+                   help="optionally write the full (url, change_type) "
+                   "table as parquet here")
+    d.set_defaults(fn=_cmd_diff)
 
     q = sub.add_parser("query", help="run one queries() pipeline")
     q.add_argument("name")
