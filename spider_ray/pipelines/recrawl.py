@@ -77,28 +77,27 @@ def recrawl_diff(old_dir: str, new_dir: str, n_buckets: int = 32):
     )
 
     def classify(batch: pa.Table) -> pa.Table:
-        uo = batch.column("url_old").to_pylist()
-        un = batch.column("url_new").to_pylist()
-        mo = batch.column("md5_old").to_pylist()
-        mn = batch.column("md5_new").to_pylist()
-        urls, kinds = [], []
-        for o, n, ho, hn in zip(uo, un, mo, mn):
-            if o is None:
-                urls.append(n)
-                kinds.append("added")
-            elif n is None:
-                urls.append(o)
-                kinds.append("removed")
-            elif o != n:
-                urls.append(n)
-                kinds.append("collision")
-            else:
-                urls.append(n)
-                kinds.append("changed" if ho != hn else "unchanged")
+        import pyarrow.compute as pc
+
+        uo, un = batch.column("url_old"), batch.column("url_new")
+        mo, mn = batch.column("md5_old"), batch.column("md5_new")
+        old_null = pc.is_null(uo).to_numpy(zero_copy_only=False)
+        new_null = pc.is_null(un).to_numpy(zero_copy_only=False)
+        url_diff = pc.fill_null(pc.not_equal(uo, un), False).to_numpy(
+            zero_copy_only=False
+        )
+        md5_diff = pc.fill_null(pc.not_equal(mo, mn), False).to_numpy(
+            zero_copy_only=False
+        )
+        kinds = np.select(
+            [old_null, new_null, url_diff, md5_diff],
+            ["added", "removed", "collision", "changed"],
+            default="unchanged",
+        )
         return pa.table(
             {
-                "url": pa.array(urls, pa.string()),
-                "change_type": pa.array(kinds, pa.string()),
+                "url": pc.coalesce(un, uo),
+                "change_type": pa.array(kinds.tolist(), pa.string()),
             }
         )
 
