@@ -5034,7 +5034,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     rows-only entries below the cut) — then the crawl flagship family,
     then every path that changed in r4 (ANN zero-copy ingestion,
     unbiased quantizer sampling, pivot/wave-cut/props/consensus fixes,
-    indexed BPE), then a broad re-confirm spread. After this round every
+    indexed BPE), then a broad re-confirm spread, with the last three
+    slots taken by the r4-new oracle-backed operators (redact_pii,
+    sitemap_seeds, recrawl_diff) in place of re-confirms that are
+    already green in both r1 and r2. After this round every
     oracle-backed query in the repo has at least one green driver row.
     All oracle-backed queries are additionally re-verified against DuckDB
     every session by tests/test_oracle_parity.py."""
@@ -5089,12 +5092,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "canonicalize_urls": _q_canonicalize,
         "extract_links": _q_extract_links,
-        "detect_documents": _q_detect_documents,
-        "infer_mime": _q_infer_mime,
-        "status_gate": _q_status_gate,
+        # the r4-new oracle-backed operators take the last three slots
+        # (displacing detect_documents/infer_mime/status_gate, each
+        # already green in BOTH r1 and r2 driver rows)
+        "redact_pii": _q_redact_pii,
+        "sitemap_seeds": _q_sitemap_seeds,
+        "recrawl_diff": _q_recrawl_diff,
         # ---- top-50 window ends here (50 entries above) -------------------
         # below the cut: green rows in earlier rounds, re-proven each
         # session by tests/test_oracle_parity.py
+        "detect_documents": _q_detect_documents,
+        "infer_mime": _q_infer_mime,
+        "status_gate": _q_status_gate,
         "tfidf_topk": _q_tfidf_topk,
         "left_outer_join": _q_left_outer_join,
         "events_ntile": _q_events_ntile,
@@ -5128,9 +5137,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_signals": _q_repetition_signals,
         "decontaminate_docs": _q_decontaminate,
         "pattern_counts": _q_pattern_counts,
-        "redact_pii": _q_redact_pii,
-        "sitemap_seeds": _q_sitemap_seeds,
-        "recrawl_diff": _q_recrawl_diff,
         "events_user_rank": _q_events_user_rank,
         "full_outer_counts": _q_full_outer_counts,
         "dup_window_stats": _q_dup_window_stats,
