@@ -230,9 +230,22 @@ class MockWeb:
             lines.append("Disallow: /private/")
         if self.cfg.crawl_delay_s > 0 and host == "h1.test":
             lines.append(f"Crawl-delay: {self.cfg.crawl_delay_s:g}")
-        if not lines:
+        # the standard announcement channel (robotstxt.org/sitemaps.org):
+        # a Sitemap: line names the index; h2.test announces a
+        # NON-conventional path to prove discovery reads robots rather
+        # than assuming /sitemap.xml
+        sitemap_lines = []
+        if self.cfg.with_sitemaps:
+            path = "/inventory.xml" if host == "h2.test" else "/sitemap.xml"
+            sitemap_lines.append(f"Sitemap: http://{host}{path}")
+        if not lines and not sitemap_lines:
             return None
-        return "User-agent: *\n" + "\n".join(lines) + "\n"
+        txt = ""
+        if lines:
+            txt = "User-agent: *\n" + "\n".join(lines) + "\n"
+        if sitemap_lines:
+            txt += "\n".join(sitemap_lines) + "\n"
+        return txt
 
     def sitemap_index_xml(self, host: str) -> str:
         """Two-shard sitemapindex (exercises index recursion)."""
@@ -294,11 +307,16 @@ class MockWeb:
                 return MockResponse(url, url, 404, "text/plain", content="")
             return MockResponse(url, url, 200, "text/plain", content=txt)
 
-        if cfg.with_sitemaps and path == "/sitemap.xml":
-            return MockResponse(
-                url, url, 200, "application/xml",
-                content=self.sitemap_index_xml(host),
-            )
+        if cfg.with_sitemaps and path in ("/sitemap.xml", "/inventory.xml"):
+            # h2.test announces /inventory.xml via robots and does NOT
+            # serve the conventional path (discovery must read robots)
+            served = "/inventory.xml" if host == "h2.test" else "/sitemap.xml"
+            if path == served:
+                return MockResponse(
+                    url, url, 200, "application/xml",
+                    content=self.sitemap_index_xml(host),
+                )
+            return MockResponse(url, url, 404, "text/plain", content="")
         if cfg.with_sitemaps and path.startswith("/sitemap-") and path.endswith(".xml"):
             shard = _int_tail(path[len("/sitemap-"):-len(".xml")])
             if shard is None or shard not in (0, 1):

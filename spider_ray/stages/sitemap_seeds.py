@@ -56,20 +56,44 @@ class SitemapStage:
             return None
         return resp.content
 
+    def _sitemap_roots(self, host: str) -> list[str]:
+        """Where a host's sitemaps live: every ``Sitemap:`` line its
+        robots.txt announces (the standard channel — robotstxt.org; the
+        directive is user-agent-independent), falling back to the
+        ``/sitemap.xml`` convention when robots is absent or silent."""
+        import urllib.robotparser
+
+        robots = None
+        if hasattr(self.web, "robots_txt"):
+            robots = self.web.robots_txt(host)
+        else:
+            resp = self.web.resolve(f"http://{host}/robots.txt", attempts=0)
+            if resp.status < 400:
+                robots = resp.content
+        if robots:
+            parser = urllib.robotparser.RobotFileParser()
+            parser.parse(robots.splitlines())
+            announced = parser.site_maps()
+            if announced:
+                return list(announced)
+        return [f"http://{host}/sitemap.xml"]
+
     def urls_for_host(self, host: str) -> list[dict]:
         """All declared URLs for one host, index recursion included."""
-        root = self._fetch_xml(f"http://{host}/sitemap.xml")
-        if root is None:
-            return []
-        parsed = parse_sitemap(root)
-        rows = list(parsed["urls"])
-        for shard_loc in parsed["sitemaps"][: self.max_shards]:
-            shard_xml = self._fetch_xml(shard_loc)
-            if shard_xml is None:
+        rows: list[dict] = []
+        for root_url in self._sitemap_roots(host):
+            root = self._fetch_xml(root_url)
+            if root is None:
                 continue
-            # one level of nesting only (sitemaps.org: an index may not
-            # reference another index) — nested indexes are ignored
-            rows.extend(parse_sitemap(shard_xml)["urls"])
+            parsed = parse_sitemap(root)
+            rows.extend(parsed["urls"])
+            for shard_loc in parsed["sitemaps"][: self.max_shards]:
+                shard_xml = self._fetch_xml(shard_loc)
+                if shard_xml is None:
+                    continue
+                # one level of nesting only (sitemaps.org: an index may
+                # not reference another index) — nested indexes ignored
+                rows.extend(parse_sitemap(shard_xml)["urls"])
         return rows
 
     def __call__(self, batch: pa.Table) -> pa.Table:

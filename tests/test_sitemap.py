@@ -79,6 +79,24 @@ def test_sitemap_seed_frontier_dataset(ray_session):
     assert set(out.column("lastmod").to_pylist()) == {"2026-01-01"}
 
 
+def test_robots_sitemap_directive_discovery():
+    """h2.test announces a NON-conventional sitemap path via its robots
+    Sitemap: line and 404s /sitemap.xml — discovery must read robots.
+    Hosts without an announcement fall back to the convention."""
+    stage = SitemapStage(web_config=CFG)
+    assert stage._sitemap_roots("h2.test") == ["http://h2.test/inventory.xml"]
+    # a host with no robots Sitemap line (sitemaps off) → convention
+    plain = SitemapStage(web_config=MockWebConfig(n_pages=60, n_hosts=7))
+    assert plain._sitemap_roots("h2.test") == ["http://h2.test/sitemap.xml"]
+    # full inventory still discovered through the announced path
+    rows = stage.urls_for_host("h2.test")
+    expect = [page_url(i, CFG) for i in range(2, CFG.n_pages, CFG.n_hosts)]
+    assert sorted(r["loc"] for r in rows) == sorted(expect)
+    # the conventional path really is dead on h2 (no double counting)
+    resp = MockWeb(CFG).resolve("http://h2.test/sitemap.xml")
+    assert resp.status == 404
+
+
 def test_parse_sitemap_roundtrip_property():
     """Property: any urlset built from generated entries parses back to
     exactly those entries (trimmed), regardless of field presence."""
