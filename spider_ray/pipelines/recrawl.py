@@ -79,8 +79,12 @@ def recrawl_diff(old_dir: str, new_dir: str, n_buckets: int = 32):
     def classify(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        uo, un = batch.column("url_old"), batch.column("url_new")
-        mo, mn = batch.column("md5_old"), batch.column("md5_new")
+        # an all-one-sided bucket block types its absent side as `null`
+        # (no string kernel for coalesce/not_equal) — cast up front
+        uo = batch.column("url_old").cast(pa.string())
+        un = batch.column("url_new").cast(pa.string())
+        mo = batch.column("md5_old").cast(pa.string())
+        mn = batch.column("md5_new").cast(pa.string())
         old_null = pc.is_null(uo).to_numpy(zero_copy_only=False)
         new_null = pc.is_null(un).to_numpy(zero_copy_only=False)
         url_diff = pc.fill_null(pc.not_equal(uo, un), False).to_numpy(

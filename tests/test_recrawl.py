@@ -42,6 +42,32 @@ def test_recrawl_diff_changed_unchanged(ray_session, tmp_path):
     assert sum(k == "changed" for k in got.values()) > 0
 
 
+def test_recrawl_diff_disjoint_runs(ray_session, tmp_path):
+    """Fully disjoint URL sets: every join bucket is one-sided, which
+    types the absent side's columns as `null` in some block layouts —
+    the classify stage must survive that (regression: coalesce had no
+    (null, string) kernel)."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    for name, urls in (("old", ["http://a.test/1", "http://a.test/2"]),
+                       ("new", ["http://b.test/9"])):
+        d = tmp_path / name / "documents" / "epoch=0"
+        os.makedirs(d)
+        pq_mod.write_table(
+            pa.table({"url": pa.array(urls, pa.string()),
+                      "text": pa.array(["t"] * len(urls), pa.string())}),
+            str(d / "part-0.parquet"),
+        )
+    got = _collect(recrawl_diff(str(tmp_path / "old"), str(tmp_path / "new")))
+    assert got == {
+        "http://a.test/1": "removed",
+        "http://a.test/2": "removed",
+        "http://b.test/9": "added",
+    }
+
+
 def test_recrawl_diff_added_removed(ray_session, tmp_path):
     """Different universes (the BFS closure shifts with n_pages):
     added/removed must equal the exact set difference of the two runs'
