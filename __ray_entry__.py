@@ -1980,6 +1980,70 @@ FROM crawl_nodes ORDER BY url
 """
 
 
+def _q_bpe_encode_pin(sf_dir: str) -> pa.Table:
+    """bpe_encode's external equality gate (same pattern as
+    bpe_vocab_pin): the distributed encoder (broadcast merge ranks,
+    per-batch unique-word memoization) must agree per document with a
+    driver-side re-encode of the same text under the same merges
+    (functions greedy encode_word). ws_tokens is the data-dependent
+    column the SQL oracle re-derives (whitespace split), so the hash
+    pins per-doc rows, not just the boolean."""
+    _ctx()
+    import re as _re
+
+    from spider_ray.pipelines.bpe import (
+        bpe_encode,
+        bpe_train_indexed,
+        encode_word,
+    )
+    from spider_ray.functions.text import token_count
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = bpe_train_indexed(docs, num_merges=24, num_shards=4)
+    out = _collect(bpe_encode(docs, merges)).to_pandas()
+    rows = sorted(docs.take_all(), key=lambda r: r["doc_id"])
+    ranks = {
+        (a, b): r
+        for r, a, b in zip(
+            merges.column("rank").to_pylist(),
+            merges.column("a").to_pylist(),
+            merges.column("b").to_pylist(),
+        )
+    }
+    word_re = _re.compile(r"[a-z0-9]+")
+    by_id = {
+        int(r["doc_id"]): (int(r["bpe_tokens"]), int(r["distinct_pieces"]))
+        for _, r in out.iterrows()
+    }
+    doc_ids, ws, ok = [], [], []
+    for r in rows:
+        text = r["text"] or ""
+        encs = [encode_word(w, ranks) for w in word_re.findall(text.lower())]
+        expect = (
+            sum(len(e) for e in encs),
+            len({p for e in encs for p in e}),
+        )
+        doc_ids.append(int(r["doc_id"]))
+        ws.append(token_count(text))
+        ok.append(by_id.get(int(r["doc_id"])) == expect)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "ws_tokens": pa.array(ws, pa.int64()),
+            "encode_matches": pa.array(ok, pa.bool_()),
+        }
+    )
+
+
+_SQL_BPE_ENCODE_PIN = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(coalesce(text, '')), '\s+'))::BIGINT
+         AS ws_tokens,
+       TRUE AS encode_matches
+FROM documents ORDER BY doc_id
+"""
+
+
 def _q_sitemap_seeds(sf_dir: str) -> pa.Table:
     """Sitemap seed discovery (stages.sitemap_seeds.SitemapStage): an
     actor-pool stage fetches each host's /sitemap.xml through the fetch
@@ -5174,6 +5238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": _q_kmeans_embeddings,
         "pq_topk": _q_pq_topk,
         "bpe_vocab": _q_bpe_vocab,
+        "bpe_encode_pin": _q_bpe_encode_pin,
     }
 
 
@@ -5295,6 +5360,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_sketch_bound": _SQL_QUANTILE_SKETCH_BOUND,
         "kmeans_invariance": _SQL_KMEANS_INVARIANCE,
         "bpe_vocab_pin": _SQL_BPE_VOCAB_PIN,
+        "bpe_encode_pin": _SQL_BPE_ENCODE_PIN,
         # ivf_topk (partial probe) / approx_value_quantiles /
         # kmeans_embeddings stay rows-only (approximate by design /
         # sketch / iterative-float; ivf's machinery is pinned by
