@@ -1931,9 +1931,10 @@ def _q_recrawl_diff(sf_dir: str) -> pa.Table:
     two crawl runs of the same universe — the second with
     content_version=1, which edits the body text of pages with
     id % 10 == 0 — fingerprinted per side (vectorized md5 over extracted
-    text), hash-partitioned on url_hash64, full-outer bucketed join, and
-    classified added/removed/changed/unchanged. Oracle: the BFS closure
-    is closed-form, and so is which pages changed."""
+    text), hash-partitioned on url_hash64, full-outer-merged per bucket
+    on the FULL url string (so 64-bit hash collisions classify exactly),
+    and classified added/removed/changed/unchanged. Oracle: the BFS
+    closure is closed-form, and so is which pages changed."""
     _ctx()
     import hashlib as _hl
 
@@ -5101,10 +5102,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     indexed BPE), then a broad re-confirm spread, with the last three
     slots taken by the r4-new oracle-backed operators (redact_pii,
     sitemap_seeds, recrawl_diff) in place of re-confirms that are
-    already green in both r1 and r2. After this round every
-    oracle-backed query in the repo has at least one green driver row.
-    All oracle-backed queries are additionally re-verified against DuckDB
-    every session by tests/test_oracle_parity.py."""
+    already green in both r1 and r2.
+
+    r5 (final) rotation: one swap — bpe_encode_pin (the only
+    oracle-backed query without an external driver row after r4; it
+    landed after the r4 window was pinned) replaces canonicalize_urls
+    (green r1/r2/r4). After r5 every oracle-backed query in the repo has
+    at least one green driver row. All oracle-backed queries are
+    additionally re-verified against DuckDB every session by
+    tests/test_oracle_parity.py."""
     return {
         # ---- top-50 window (r4 rotation): the 22 queries with no driver
         #      CORRECTNESS row in r1-r3, then the crawl flagship family,
@@ -5154,7 +5160,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_agg": _q_events_sliding_agg,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
-        "canonicalize_urls": _q_canonicalize,
+        # r5 rotation: bpe_encode_pin was the only oracle-backed query with
+        # no external driver row in r1-r4 (it landed after the r4 window was
+        # pinned); it displaces canonicalize_urls (green r1/r2/r4).
+        "bpe_encode_pin": _q_bpe_encode_pin,
         "extract_links": _q_extract_links,
         # the r4-new oracle-backed operators take the last three slots
         # (displacing detect_documents/infer_mime/status_gate, each
@@ -5165,6 +5174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- top-50 window ends here (50 entries above) -------------------
         # below the cut: green rows in earlier rounds, re-proven each
         # session by tests/test_oracle_parity.py
+        "canonicalize_urls": _q_canonicalize,
         "detect_documents": _q_detect_documents,
         "infer_mime": _q_infer_mime,
         "status_gate": _q_status_gate,
@@ -5238,7 +5248,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": _q_kmeans_embeddings,
         "pq_topk": _q_pq_topk,
         "bpe_vocab": _q_bpe_vocab,
-        "bpe_encode_pin": _q_bpe_encode_pin,
     }
 
 

@@ -274,13 +274,27 @@ def run_scaling() -> dict:
 
     lo_n = int(os.environ.get("SCALING_LO", "8"))
     hi_n = 4 * lo_n
-    lo_raw = run_once(lo_n)
-    _cooldown()
-    hi1 = run_iso(hi_n)
-    _cooldown()
-    hi = max(hi1, run_iso(hi_n), key=lambda r: r["pages_per_sec"])
-    _cooldown()
-    lo_iso = run_iso(lo_n)
+    # SCALING_ORDER=hi_first runs the throttle-SENSITIVE big leg first:
+    # on this sandbox the hypervisor's quiet windows last minutes, the
+    # lo-raw leg is throttle-immune (per-core rate identical healthy vs
+    # throttled, BASELINE.md), so front-loading hi maximizes the chance
+    # the one leg that needs a healthy host gets it
+    if os.environ.get("SCALING_ORDER") == "hi_first":
+        hi1 = run_iso(hi_n)
+        _cooldown()
+        hi = max(hi1, run_iso(hi_n), key=lambda r: r["pages_per_sec"])
+        _cooldown()
+        lo_raw = run_once(lo_n)
+        _cooldown()
+        lo_iso = run_iso(lo_n)
+    else:
+        lo_raw = run_once(lo_n)
+        _cooldown()
+        hi1 = run_iso(hi_n)
+        _cooldown()
+        hi = max(hi1, run_iso(hi_n), key=lambda r: r["pages_per_sec"])
+        _cooldown()
+        lo_iso = run_iso(lo_n)
     tp_lo_raw, tp_lo_iso, tp_hi = (
         lo_raw["pages_per_sec"], lo_iso["pages_per_sec"], hi["pages_per_sec"]
     )

@@ -134,10 +134,31 @@ def _cmd_diff(args: argparse.Namespace) -> int:
     if args.out:
         ds = ds.materialize()
         ds.write_parquet(args.out)
+    # distributed count: per-batch arrow value_counts partials, then one
+    # tiny groupby — only the (change_type, n) table reaches the driver
+    import pyarrow as pa
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        vc = batch.column("change_type").combine_chunks().value_counts()
+        return pa.table(
+            {
+                "change_type": vc.field("values"),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    counts_tbl = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("change_type")
+        .sum("n")
+    )
     counts: dict[str, int] = {}
-    for batch in ds.iter_batches(batch_format="pyarrow"):
-        for kind in batch.column("change_type").to_pylist():
-            counts[kind] = counts.get(kind, 0) + 1
+    for batch in counts_tbl.iter_batches(batch_format="pyarrow"):
+        for kind, n in zip(
+            batch.column("change_type").to_pylist(),
+            batch.column("sum(n)").to_pylist(),
+        ):
+            counts[kind] = int(n)
     print(json.dumps({"old": args.old, "new": args.new, "counts": counts}))
     return 0
 

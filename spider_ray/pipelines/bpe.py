@@ -237,18 +237,31 @@ class _BpeShard:
         self.ns: list[int] = []
         # pair -> set of local word indices whose symbol seq contains it
         self.index: dict[tuple[str, str], set[int]] = {}
+        # word -> local index: the word table is globally UNIQUE (it is
+        # a groupby output), so a repeated word can only be a replayed
+        # ingest block (Ray lineage re-execution of the routing task)
+        self.word_ids: dict[str, int] = {}
 
     def ingest(self, words: list[str], ns: list[int]) -> dict:
-        """Append words; return this batch's pair-count contribution."""
+        """Append words; return this batch's pair-count contribution.
+
+        Idempotent under Ray Data task re-execution: a replayed block
+        re-sends words this shard already holds — they are dropped from
+        shard state, but their pair deltas are still returned so the
+        reply is bit-identical to the original call (the driver consumes
+        each logical output block exactly once either way)."""
         deltas: Counter = Counter()
-        base = len(self.syms)
-        for off, (w, n) in enumerate(zip(words, ns)):
+        for w, n in zip(words, ns):
             sym = _word_symbols(w)
-            wi = base + off
-            self.syms.append(sym)
-            self.ns.append(n)
             for p in zip(sym, sym[1:]):
                 deltas[p] += n
+            if w in self.word_ids:
+                continue  # replayed block — already ingested
+            wi = len(self.syms)
+            self.word_ids[w] = wi
+            self.syms.append(sym)
+            self.ns.append(n)
+            for p in set(zip(sym, sym[1:])):
                 self.index.setdefault(p, set()).add(wi)
         return dict(deltas)
 
@@ -288,6 +301,7 @@ def bpe_train_indexed(
     num_merges: int = 64,
     min_freq: int = 2,
     num_shards: int = 8,
+    max_words_per_shard: int = 4_000_000,
 ) -> pa.Table:
     """``bpe_train`` with identical output but O(touched occurrences)
     per merge instead of two full dataset passes + a shuffle per merge —
@@ -320,7 +334,17 @@ def bpe_train_indexed(
 
     import ray
 
-    words = word_frequency_table(ds, text_col)
+    # materialize the (small) unique-word table so the count below and
+    # the routed ingest read the same computed blocks — the O(corpus)
+    # collapse still runs exactly once
+    words = word_frequency_table(ds, text_col).materialize()
+    # memory guard: each shard holds its words' symbol lists + inverted
+    # index in actor heap (~100 B/word); bound residency per shard by
+    # widening the pool instead of OOMing one actor on a skewed corpus
+    n_words = words.count()
+    num_shards = max(
+        num_shards, -(-int(n_words) // max_words_per_shard) or 1
+    )
     # num_cpus=0: the shards are memory-resident indexes that work in
     # short bursts; reserving whole CPUs for them would deadlock small
     # clusters against the ingest map_batches tasks they must overlap

@@ -1222,18 +1222,17 @@ def run_crawl(config: CrawlConfig, resume: bool = False) -> CrawlResult:
                 [h for h, a in zip(hosts, allowed) if a]
             )
             if any(c is not None for c in caps.values()):
-                kept_hosts = wave_rest.column("host").to_pylist()
-                keep = np.ones(len(kept_hosts), dtype=bool)
-                used: dict[str, int] = {}
-                for i, h in enumerate(kept_hosts):
-                    cap = caps.get(h)
-                    if cap is None:
-                        continue
-                    k = used.get(h, 0)
-                    if k >= cap:
-                        keep[i] = False
-                    else:
-                        used[h] = k + 1
+                import pandas as _pd
+
+                # vectorized per-host cumcount (wave order = priority
+                # order): row i of host h survives iff its rank within h
+                # is under h's Crawl-delay budget
+                s = wave_rest.column("host").to_pandas()
+                rank = s.groupby(s, sort=False).cumcount().to_numpy()
+                capv = s.map(
+                    {h: c for h, c in caps.items() if c is not None}
+                ).to_numpy(dtype=float, na_value=np.inf)
+                keep = rank < capv
                 if not keep.all():
                     mask = pa.array(keep)
                     overflow = (

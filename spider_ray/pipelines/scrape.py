@@ -276,7 +276,8 @@ class PlatformRegistry:
         return self.detect(source["url"], fetch_html, fallback_type)
 
     def discover_source_options(
-        self, source: dict, ctx, fetch_html, fallback_type=None
+        self, source: dict, ctx, fetch_html, fallback_type=None,
+        resolved_type: str | None = None,
     ) -> dict:
         """Run the resolved adapter's optional ``discover_options`` hook
         (platform/types.ts:84-88): per-source configuration the adapter
@@ -285,13 +286,19 @@ class PlatformRegistry:
         source fields win, matching the preset-beats-detection philosophy
         (registry.ts:161-162). Hook errors are logged and tolerated (the
         detection-phase error contract, registry.ts:98-104): discovery is
-        an optimization, never a gate."""
-        resolved = self.resolve(source, fetch_html, fallback_type)
-        if resolved is None:
-            raise ValueError(
-                f"ValidationError: cannot resolve platform for {source}"
-            )
-        adapter = self._adapters[resolved["type"]]
+        an optimization, never a gate.
+
+        ``resolved_type`` lets a caller that already ran two-phase
+        detection (fetch_items) pass its result in, so resolution — and
+        its possible detect_html network fetch — runs once per source."""
+        if resolved_type is None:
+            resolved = self.resolve(source, fetch_html, fallback_type)
+            if resolved is None:
+                raise ValueError(
+                    f"ValidationError: cannot resolve platform for {source}"
+                )
+            resolved_type = resolved["type"]
+        adapter = self._adapters[resolved_type]
         if adapter.discover_options is None:
             return dict(source)
         try:
@@ -319,6 +326,7 @@ class PlatformRegistry:
         adapter = self._adapters[resolved["type"]]
         if discover and adapter.discover_options is not None:
             source = self.discover_source_options(
-                source, ctx, fetch_html, fallback_type
+                source, ctx, fetch_html, fallback_type,
+                resolved_type=resolved["type"],
             )
         return adapter.fetch(source, ctx)

@@ -89,3 +89,33 @@ def test_recrawl_diff_added_removed(ray_session, tmp_path):
     got_rev = _collect(recrawl_diff(new, old))
     mirror = {"added": "removed", "removed": "added"}
     assert got_rev == {u: mirror.get(k, k) for u, k in got.items()}
+
+
+def test_recrawl_diff_one_bucket_no_collision_class(ray_session, tmp_path):
+    """Distinct URLs co-located in ONE bucket (the worst case a 64-bit
+    key collision can produce) classify exactly as added+removed: the
+    in-bucket merge keys on the full URL string, so the old key-join
+    'collision' label is structurally impossible."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    for name, rows in (
+        ("old", [("http://a.test/x", "same"), ("http://a.test/y", "old")]),
+        ("new", [("http://a.test/y", "new"), ("http://b.test/z", "same")]),
+    ):
+        d = tmp_path / name / "documents" / "epoch=0"
+        os.makedirs(d)
+        pq_mod.write_table(
+            pa.table({"url": pa.array([r[0] for r in rows], pa.string()),
+                      "text": pa.array([r[1] for r in rows], pa.string())}),
+            str(d / "part-0.parquet"),
+        )
+    got = _collect(
+        recrawl_diff(str(tmp_path / "old"), str(tmp_path / "new"), n_buckets=1)
+    )
+    assert got == {
+        "http://a.test/x": "removed",
+        "http://a.test/y": "changed",
+        "http://b.test/z": "added",
+    }
