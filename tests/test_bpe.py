@@ -184,3 +184,28 @@ def test_bpe_encode_counts(ray_session):
         zip(out["doc_id"], out["bpe_tokens"], out["distinct_pieces"])
     )
     assert got == exp
+
+
+def test_bpe_shard_ingest_replay_idempotent():
+    """Ray Data may re-execute a routing task on lineage reconstruction,
+    re-sending a block the shard already ingested. The shard must drop
+    the repeated words from its state but return bit-identical pair
+    deltas, so the driver's one-consume-per-logical-block accounting
+    stays exact either way (ADVICE r4, bpe.py _BpeShard.ingest)."""
+    from spider_ray.pipelines.bpe import _BpeShard
+
+    words, ns = ["low", "lower", "new"], [5, 2, 3]
+    fresh = _BpeShard()
+    first = fresh.ingest(words, ns)
+    replayed = fresh.ingest(words, ns)  # same block, re-executed task
+    assert replayed == first  # reply bit-identical to the original call
+    # state not duplicated: one entry per unique word
+    assert len(fresh.syms) == len(words)
+    assert sorted(fresh.word_ids) == sorted(words)
+
+    # merges after a replay behave exactly as with a single ingest
+    clean = _BpeShard()
+    clean.ingest(words, ns)
+    assert fresh.apply_merge("l", "o") == clean.apply_merge("l", "o")
+    assert fresh.apply_merge("lo", "w") == clean.apply_merge("lo", "w")
+    assert [s for s in fresh.syms] == [s for s in clean.syms]
