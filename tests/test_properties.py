@@ -279,3 +279,54 @@ def test_dist_le1_batch_matches_dp(pairs):
     got = _dist_le1_batch(sa, sb).tolist()
     exp = [_lev_le(a, b, 1) for a, b in pairs]
     assert got == exp
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="ab", min_size=1, max_size=6),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=150, deadline=None)
+def test_bpe_shard_incremental_deltas_match_recount(words_freqs, num_merges):
+    """The indexed trainer's core invariant (bpe.py _BpeShard): the
+    driver's pair-count table, maintained purely from ingest deltas +
+    apply_merge deltas, must equal a from-scratch recount of the shard's
+    symbol sequences after EVERY merge — for any corpus and any merge
+    sequence (here: the trainer's own argmax/tie-break policy)."""
+    from collections import Counter
+
+    from spider_ray.pipelines.bpe import _BpeShard
+
+    def recount(shard):
+        c = Counter()
+        for sym, n in zip(shard.syms, shard.ns):
+            for p in zip(sym, sym[1:]):
+                c[p] += n
+        return +c  # drop zero/negative entries
+
+    shard = _BpeShard()
+    counts = Counter(shard.ingest([w for w, _ in words_freqs],
+                                  [n for _, n in words_freqs]))
+    assert +counts == recount(shard)
+
+    for _ in range(num_merges):
+        live = +counts
+        if not live:
+            break
+        # trainer policy: count desc, then (a, b) asc
+        (a, b), _cnt = min(live.items(), key=lambda kv: (-kv[1], kv[0]))
+        counts.update(shard.apply_merge(a, b))
+        assert +counts == recount(shard)
+        assert (a, b) not in +counts  # merged pair fully consumed
+        # inverted index consistency: every indexed pair really occurs
+        for p, idxs in shard.index.items():
+            for wi in idxs:
+                sym = shard.syms[wi]
+                assert p in set(zip(sym, sym[1:]))
