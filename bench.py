@@ -250,7 +250,15 @@ def run_scaling() -> dict:
     """
 
     def run_once(ncpu: int, pin: str | None = None) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_CRAWL_ONLY="1")
+        # BENCH_CRAWL_REPEATS is forced to 1 here: a caller exporting it
+        # for headline insurance must not silently turn every scaling leg
+        # into a best-of-N (the leg protocol owns its own repeat policy)
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            BENCH_CRAWL_ONLY="1",
+            BENCH_CRAWL_REPEATS="1",
+        )
         cmd = [sys.executable, os.path.abspath(__file__)]
         if pin is not None:
             cmd = ["taskset", "-c", pin] + cmd
@@ -313,22 +321,27 @@ def run_scaling() -> dict:
     # lo-raw leg is throttle-immune (per-core rate identical healthy vs
     # throttled, BASELINE.md), so front-loading hi maximizes the chance
     # the one leg that needs a healthy host gets it
-    if os.environ.get("SCALING_ORDER") == "hi_first":
+    def _run_hi():
         hi1 = run_iso(hi_n)
         _cooldown()
-        hi = max(hi1, run_iso(hi_n), key=lambda r: r["pages_per_sec"])
-        _cooldown()
-        lo_raw = run_once(lo_n)
-        _cooldown()
-        lo_iso = run_iso(lo_n)
-    else:
-        lo_raw = run_once(lo_n)
-        _cooldown()
-        hi1 = run_iso(hi_n)
-        _cooldown()
-        hi = max(hi1, run_iso(hi_n), key=lambda r: r["pages_per_sec"])
-        _cooldown()
-        lo_iso = run_iso(lo_n)
+        return max(hi1, run_iso(hi_n), key=lambda r: r["pages_per_sec"])
+
+    legs = {
+        "hi": _run_hi,
+        "lo_raw": lambda: run_once(lo_n),
+        "lo_iso": lambda: run_iso(lo_n),
+    }
+    order = (
+        ["hi", "lo_raw", "lo_iso"]
+        if os.environ.get("SCALING_ORDER") == "hi_first"
+        else ["lo_raw", "hi", "lo_iso"]
+    )
+    results: dict = {}
+    for i, name in enumerate(order):
+        if i:
+            _cooldown()
+        results[name] = legs[name]()
+    lo_raw, lo_iso, hi = results["lo_raw"], results["lo_iso"], results["hi"]
     tp_lo_raw, tp_lo_iso, tp_hi = (
         lo_raw["pages_per_sec"], lo_iso["pages_per_sec"], hi["pages_per_sec"]
     )

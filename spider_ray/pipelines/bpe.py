@@ -256,7 +256,19 @@ class _BpeShard:
             for p in zip(sym, sym[1:]):
                 deltas[p] += n
             if w in self.word_ids:
-                continue  # replayed block — already ingested
+                # replayed block — already ingested. Only an exact task
+                # replay may legally repeat a word (the word table is a
+                # groupby output); a repeat with a DIFFERENT count would
+                # mean the uniqueness contract broke upstream, and
+                # silently dropping it would let the driver's pair table
+                # diverge from shard state — fail loudly instead.
+                if self.ns[self.word_ids[w]] != n:
+                    raise RuntimeError(
+                        f"BPE shard re-ingest of {w!r} with count {n} != "
+                        f"held {self.ns[self.word_ids[w]]}: word table "
+                        "is not unique — not a task replay"
+                    )
+                continue
             wi = len(self.syms)
             self.word_ids[w] = wi
             self.syms.append(sym)

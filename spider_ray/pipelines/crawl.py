@@ -1222,8 +1222,6 @@ def run_crawl(config: CrawlConfig, resume: bool = False) -> CrawlResult:
                 [h for h, a in zip(hosts, allowed) if a]
             )
             if any(c is not None for c in caps.values()):
-                import pandas as _pd
-
                 # vectorized per-host cumcount (wave order = priority
                 # order): row i of host h survives iff its rank within h
                 # is under h's Crawl-delay budget

@@ -74,9 +74,20 @@ def recrawl_diff(old_dir: str, new_dir: str, n_buckets: int = 32):
 
     def diff_bucket(group: pd.DataFrame) -> pd.DataFrame:
         # one run fetches each URL at most once (the seen set), but a
-        # store hand-built from multiple epochs may repeat — keep first
-        l = group[group["__side"] == "old"][["url", "md5"]].drop_duplicates("url")
-        r = group[group["__side"] == "new"][["url", "md5"]].drop_duplicates("url")
+        # store hand-built from multiple epochs may repeat a URL with
+        # DIFFERENT text; intra-group row order depends on block arrival,
+        # so a bare keep='first' would classify such a URL differently
+        # run-to-run. Keep the lexicographically smallest md5 per URL —
+        # arbitrary but deterministic for identical input stores.
+        def _one_per_url(side: pd.DataFrame) -> pd.DataFrame:
+            return (
+                side[["url", "md5"]]
+                .sort_values(["url", "md5"], kind="mergesort")
+                .drop_duplicates("url")
+            )
+
+        l = _one_per_url(group[group["__side"] == "old"])
+        r = _one_per_url(group[group["__side"] == "new"])
         m = l.merge(r, on="url", how="outer", suffixes=("_old", "_new"),
                     indicator=True)
         kinds = np.select(

@@ -209,3 +209,18 @@ def test_bpe_shard_ingest_replay_idempotent():
     assert fresh.apply_merge("l", "o") == clean.apply_merge("l", "o")
     assert fresh.apply_merge("lo", "w") == clean.apply_merge("lo", "w")
     assert [s for s in fresh.syms] == [s for s in clean.syms]
+
+
+def test_bpe_shard_reingest_different_count_raises():
+    """A repeated word is only legal as an exact task replay; a repeat
+    with a different count means the unique-word-table contract broke
+    upstream, and silently dropping it would desync the driver's pair
+    table from shard state — the shard fails loudly instead."""
+    import pytest
+
+    from spider_ray.pipelines.bpe import _BpeShard
+
+    shard = _BpeShard()
+    shard.ingest(["low"], [5])
+    with pytest.raises(RuntimeError, match="not a task replay"):
+        shard.ingest(["low"], [7])

@@ -119,3 +119,45 @@ def test_recrawl_diff_one_bucket_no_collision_class(ray_session, tmp_path):
         "http://a.test/y": "changed",
         "http://b.test/z": "added",
     }
+
+
+def test_recrawl_diff_duplicate_url_deterministic(ray_session, tmp_path):
+    """A multi-epoch store can hold the same URL twice with DIFFERENT
+    text. Intra-bucket row order depends on block arrival, so the diff
+    must not let pandas keep='first' pick the winner — the per-URL
+    representative is the lexicographically smallest md5, which is
+    order-independent: both file orders classify identically."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    url = "http://dup.test/page"
+    md5 = lambda t: hashlib.md5(t.encode()).hexdigest()  # noqa: E731
+    # pick texts so min-md5 differs from the old side's fingerprint
+    texts = sorted(["alpha", "bravo"], key=md5)
+    old_text = texts[1]  # old holds the LARGER-md5 text
+    expected = "changed"  # min-md5 of the new dups != md5(old_text)
+
+    def write_store(name, rows_per_file):
+        d = tmp_path / name / "documents" / "epoch=0"
+        os.makedirs(d)
+        for i, rows in enumerate(rows_per_file):
+            pq_mod.write_table(
+                pa.table({
+                    "url": pa.array([r[0] for r in rows], pa.string()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }),
+                str(d / f"part-{i}.parquet"),
+            )
+        return str(tmp_path / name)
+
+    old = write_store("old", [[(url, old_text)]])
+    got = {}
+    for order in ("fwd", "rev"):
+        files = [[(url, texts[0])], [(url, texts[1])]]
+        if order == "rev":
+            files.reverse()
+        new = write_store(f"new_{order}", files)
+        got[order] = _collect(recrawl_diff(old, new, n_buckets=1))[url]
+    assert got["fwd"] == got["rev"] == expected
