@@ -307,6 +307,17 @@ class _BpeShard:
         return dict(deltas)
 
 
+def effective_num_shards(
+    n_words: int, num_shards: int, max_words_per_shard: int
+) -> int:
+    """Memory guard for the indexed trainer's actor pool: each shard
+    holds its words' symbol lists + pair→word inverted index in actor
+    heap (~100 B/word), so a skewed or huge vocabulary must widen the
+    pool rather than OOM one actor.  Returns the requested pool size or
+    ceil(n_words / max_words_per_shard), whichever is larger (never 0)."""
+    return max(num_shards, -(-int(n_words) // max_words_per_shard) or 1)
+
+
 def bpe_train_indexed(
     ds,
     text_col: str = "text",
@@ -350,12 +361,10 @@ def bpe_train_indexed(
     # the routed ingest read the same computed blocks — the O(corpus)
     # collapse still runs exactly once
     words = word_frequency_table(ds, text_col).materialize()
-    # memory guard: each shard holds its words' symbol lists + inverted
-    # index in actor heap (~100 B/word); bound residency per shard by
-    # widening the pool instead of OOMing one actor on a skewed corpus
-    n_words = words.count()
-    num_shards = max(
-        num_shards, -(-int(n_words) // max_words_per_shard) or 1
+    # bound per-shard residency by widening the pool instead of OOMing
+    # one actor on a skewed corpus (see effective_num_shards)
+    num_shards = effective_num_shards(
+        words.count(), num_shards, max_words_per_shard
     )
     # num_cpus=0: the shards are memory-resident indexes that work in
     # short bursts; reserving whole CPUs for them would deadlock small

@@ -224,3 +224,48 @@ def test_bpe_shard_reingest_different_count_raises():
     shard.ingest(["low"], [5])
     with pytest.raises(RuntimeError, match="not a task replay"):
         shard.ingest(["low"], [7])
+
+
+def test_effective_num_shards_guard():
+    """The memory guard widens the pool when the unique-word table would
+    exceed max_words_per_shard per actor, never shrinks a requested
+    pool, and never returns 0 (VERDICT r4 item 6)."""
+    from spider_ray.pipelines.bpe import effective_num_shards
+
+    # small vocab: the requested pool wins
+    assert effective_num_shards(10_000_000, 8, 4_000_000) == 8
+    # large vocab: ceil(100M / 4M) = 25 shards > the requested 8
+    assert effective_num_shards(100_000_000, 8, 4_000_000) == 25
+    # exact multiple: no off-by-one widening
+    assert effective_num_shards(32_000_000, 8, 4_000_000) == 8
+    assert effective_num_shards(32_000_001, 8, 4_000_000) == 9
+    # empty corpus: still at least one shard
+    assert effective_num_shards(0, 1, 4_000_000) == 1
+
+
+def test_bpe_indexed_widened_pool_still_exact(ray_session):
+    """A vocabulary that overflows max_words_per_shard distributes over
+    the auto-widened pool and the merge table stays bit-identical to
+    the single-shard run and the naive reference — the guard changes
+    placement only, never results."""
+    from spider_ray.pipelines.bpe import (
+        bpe_train_indexed,
+        effective_num_shards,
+        word_frequency_table,
+    )
+
+    texts = ["the cat sat on the mat", "the cats sat", "a mat that sat"] * 4
+    ds = ray.data.from_pandas(pd.DataFrame({"text": texts}))
+    n_unique = word_frequency_table(ds).count()
+    assert n_unique > 2  # the cap below really forces a widened pool
+    assert effective_num_shards(n_unique, 1, 2) == -(-n_unique // 2)
+
+    widened = bpe_train_indexed(
+        ds, num_merges=12, num_shards=1, max_words_per_shard=2
+    ).to_pylist()
+    assert widened == bpe_train_indexed(
+        ds, num_merges=12, num_shards=1
+    ).to_pylist()
+    assert [
+        (m["rank"], m["a"], m["b"], m["cnt"]) for m in widened
+    ] == _ref_bpe(texts, 12)
