@@ -61,6 +61,38 @@ def _fingerprint(side: str, n_buckets: int):
     return fp
 
 
+def _diff_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    """Classify one bucket's (url, md5, __side) rows. Pure pandas —
+    property-fuzzed against a brute-force oracle in tests/test_properties.py."""
+    # one run fetches each URL at most once (the seen set), but a
+    # store hand-built from multiple epochs may repeat a URL with
+    # DIFFERENT text; intra-group row order depends on block arrival,
+    # so a bare keep='first' would classify such a URL differently
+    # run-to-run. Keep the lexicographically smallest md5 per URL —
+    # arbitrary but deterministic for identical input stores.
+    def _one_per_url(side: pd.DataFrame) -> pd.DataFrame:
+        return (
+            side[["url", "md5"]]
+            .sort_values(["url", "md5"], kind="mergesort")
+            .drop_duplicates("url")
+        )
+
+    l = _one_per_url(group[group["__side"] == "old"])
+    r = _one_per_url(group[group["__side"] == "new"])
+    m = l.merge(r, on="url", how="outer", suffixes=("_old", "_new"),
+                indicator=True)
+    kinds = np.select(
+        [
+            (m["_merge"] == "right_only").to_numpy(),
+            (m["_merge"] == "left_only").to_numpy(),
+            (m["md5_old"] != m["md5_new"]).to_numpy(),
+        ],
+        ["added", "removed", "changed"],
+        default="unchanged",
+    )
+    return pd.DataFrame({"url": m["url"], "change_type": kinds})
+
+
 def recrawl_diff(old_dir: str, new_dir: str, n_buckets: int = 32):
     """Dataset of (url, change_type) across two crawl output dirs."""
     import ray.data
@@ -72,37 +104,8 @@ def recrawl_diff(old_dir: str, new_dir: str, n_buckets: int = 32):
         f"{new_dir}/documents", columns=["url", "text"]
     ).map_batches(_fingerprint("new", n_buckets), batch_format="pyarrow")
 
-    def diff_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        # one run fetches each URL at most once (the seen set), but a
-        # store hand-built from multiple epochs may repeat a URL with
-        # DIFFERENT text; intra-group row order depends on block arrival,
-        # so a bare keep='first' would classify such a URL differently
-        # run-to-run. Keep the lexicographically smallest md5 per URL —
-        # arbitrary but deterministic for identical input stores.
-        def _one_per_url(side: pd.DataFrame) -> pd.DataFrame:
-            return (
-                side[["url", "md5"]]
-                .sort_values(["url", "md5"], kind="mergesort")
-                .drop_duplicates("url")
-            )
-
-        l = _one_per_url(group[group["__side"] == "old"])
-        r = _one_per_url(group[group["__side"] == "new"])
-        m = l.merge(r, on="url", how="outer", suffixes=("_old", "_new"),
-                    indicator=True)
-        kinds = np.select(
-            [
-                (m["_merge"] == "right_only").to_numpy(),
-                (m["_merge"] == "left_only").to_numpy(),
-                (m["md5_old"] != m["md5_new"]).to_numpy(),
-            ],
-            ["added", "removed", "changed"],
-            default="unchanged",
-        )
-        return pd.DataFrame({"url": m["url"], "change_type": kinds})
-
     return (
         old.union(new)
         .groupby("__bucket")
-        .map_groups(diff_bucket, batch_format="pandas")
+        .map_groups(_diff_bucket, batch_format="pandas")
     )

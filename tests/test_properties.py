@@ -330,3 +330,49 @@ def test_bpe_shard_incremental_deltas_match_recount(words_freqs, num_merges):
             for wi in idxs:
                 sym = shard.syms[wi]
                 assert p in set(zip(sym, sym[1:]))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["u1", "u2", "u3", "u4"]),   # url
+            st.sampled_from(["aa", "bb", "cc"]),          # md5
+            st.sampled_from(["old", "new"]),              # side
+        ),
+        max_size=30,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_recrawl_diff_bucket_matches_bruteforce(rows):
+    """recrawl._diff_bucket vs a dict oracle, for ANY multiset of
+    (url, md5, side) rows — including repeated URLs with conflicting
+    digests on one side (multi-epoch stores), one-sided buckets, and
+    empty input. Contract: one output row per distinct url; per side
+    the lexicographically smallest md5 represents the url; classes are
+    added / removed / changed / unchanged."""
+    import pandas as pd
+
+    from spider_ray.pipelines.recrawl import _diff_bucket
+
+    group = pd.DataFrame(rows, columns=["url", "md5", "__side"])
+    got = _diff_bucket(group)
+    got_map = dict(zip(got["url"], got["change_type"]))
+
+    old_min: dict = {}
+    new_min: dict = {}
+    for url, md5, side in rows:
+        d = old_min if side == "old" else new_min
+        d[url] = min(d.get(url, md5), md5)
+    expected = {}
+    for url in set(old_min) | set(new_min):
+        if url not in old_min:
+            expected[url] = "added"
+        elif url not in new_min:
+            expected[url] = "removed"
+        elif old_min[url] != new_min[url]:
+            expected[url] = "changed"
+        else:
+            expected[url] = "unchanged"
+
+    assert len(got) == len(got_map)  # exactly one row per distinct url
+    assert got_map == expected
