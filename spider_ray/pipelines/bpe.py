@@ -58,22 +58,46 @@ def _apply_merge(sym: list[str], a: str, b: str, ab: str) -> list[str]:
     return out
 
 
+def tokenize_column(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized `_WORD_RE.findall(t.lower())` over a whole column:
+    Arrow C++ kernels only (utf8_lower → split on the complement class →
+    flatten → drop empties), zero Python per row. Splitting on
+    ``[^a-z0-9]+`` yields exactly the ``[a-z0-9]+`` matches plus empty
+    edge fragments, which are filtered. Nulls vanish at list_flatten,
+    matching the Python path's ``if t`` guard.
+
+    Byte-exact with CPython ``str.lower()``: U+0130 (İ) is the ONLY
+    unconditional multi-char lowercase mapping in Unicode SpecialCasing
+    (→ ``i`` + combining dot U+0307, which CPython applies but Arrow's
+    utf8proc simple mapping does not), so it is pre-expanded; the other
+    CPython special case (Greek final-sigma context rule) never yields
+    ``[a-z0-9]`` output and cannot affect token extraction."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.replace_substring(col, "İ", "i̇")
+    toks = pc.split_pattern_regex(pc.utf8_lower(col), "[^a-z0-9]+")
+    flat = pc.list_flatten(toks)
+    return flat.filter(pc.not_equal(flat, ""))
+
+
 def word_frequency_table(ds, text_col: str = "text"):
     """(word, n) over the corpus — combiner-then-small-shuffle, one row
-    per distinct word per block crosses the exchange."""
+    per distinct word per block crosses the exchange. Tokenization is
+    the vectorized kernel path (tokenize_column); the Sennrich twin
+    bpe_train_naive keeps the independent Python `_WORD_RE` tokenizer,
+    so the trainer equality gates also pin the two tokenizers equal."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for t in batch.column(text_col).to_pylist():
-            if t:
-                c.update(_WORD_RE.findall(t.lower()))
-        words = sorted(c)
-        return pa.table(
+        vc = tokenize_column(batch.column(text_col)).value_counts()
+        out = pa.table(
             {
-                "word": pa.array(words, pa.string()),
-                "n": pa.array([c[w] for w in words], pa.int64()),
+                "word": vc.field("values").cast(pa.string()),
+                "n": vc.field("counts").cast(pa.int64()),
             }
         )
+        return out.sort_by("word")
 
     return ds.map_batches(partial, batch_format="pyarrow").groupby("word").sum("n")
 

@@ -376,3 +376,37 @@ def test_recrawl_diff_bucket_matches_bruteforce(rows):
 
     assert len(got) == len(got_map)  # exactly one row per distinct url
     assert got_map == expected
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.text(max_size=40),
+            # bias toward the token-relevant edges: ASCII runs, the
+            # U+0130 SpecialCasing char, Kelvin sign, combining dot
+            st.text(
+                alphabet=string.ascii_letters + string.digits + " .,İK̇ß",
+                max_size=40,
+            ),
+        ),
+        max_size=20,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_tokenize_column_matches_python_reference(texts):
+    """tokenize_column (Arrow kernels) ≡ _WORD_RE.findall(t.lower())
+    (the Python tokenizer the naive Sennrich twin uses) — byte-exact,
+    including the U+0130 full-lowercase special case."""
+    import pyarrow as pa
+
+    from spider_ray.pipelines.bpe import _WORD_RE, tokenize_column
+
+    # exercise the ChunkedArray path with an arbitrary chunk split
+    mid = len(texts) // 2
+    col = pa.chunked_array(
+        [pa.array(texts[:mid], pa.string()), pa.array(texts[mid:], pa.string())]
+    )
+    got = tokenize_column(col).to_pylist()
+    want = [w for t in texts if t for w in _WORD_RE.findall(t.lower())]
+    assert got == want
