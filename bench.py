@@ -114,6 +114,10 @@ def run_bench() -> dict:
     crawl_walls: list[float] = []
     crawl_probes: list[float] = []
     best: tuple[float, object] | None = None
+    # clear the whole bench root, not just the dirs this run reuses —
+    # otherwise trees from other cpu counts / higher BENCH_CRAWL_REPEATS /
+    # older layouts accumulate on /tmp until run_crawl hits ENOSPC
+    shutil.rmtree("/tmp/spider_ray_bench", ignore_errors=True)
     for rep in range(max(1, repeats)):
         out_dir = f"/tmp/spider_ray_bench/cpu{ncpu}_rep{rep}"
         if os.path.exists(out_dir):

@@ -789,6 +789,27 @@ def _empty_frontier() -> pa.Table:
     return FRONTIER_SCHEMA.empty_table()
 
 
+def crawl_delay_keep(hosts, caps: dict) -> np.ndarray:
+    """Boolean keep-mask for the per-wave Crawl-delay budgets: row i of
+    host h survives iff its rank within h (in wave order == priority
+    order) is under h's budget; hosts with no cap — including null
+    hosts, which can never carry a robots directive — are always kept.
+    Extracted from run_crawl's wave cut so the vectorized path is
+    unit-testable against the reference per-row loop."""
+    import pandas as pd
+
+    s = hosts if isinstance(hosts, pd.Series) else pd.Series(hosts, dtype=object)
+    rank = s.groupby(s, sort=False).cumcount().to_numpy(
+        dtype=float, na_value=np.nan
+    )
+    capv = s.map(
+        {h: c for h, c in caps.items() if c is not None}
+    ).to_numpy(dtype=float, na_value=np.inf)
+    # null hosts: groupby drops NaN keys, so rank is NaN and a bare
+    # `rank < capv` would defer such rows forever — keep them instead
+    return (rank < capv) | s.isna().to_numpy()
+
+
 def _dir_rows(directory: str) -> int:
     """Row count of a parquet partition dir from footers only (no data read)."""
     import os
@@ -1225,12 +1246,9 @@ def run_crawl(config: CrawlConfig, resume: bool = False) -> CrawlResult:
                 # vectorized per-host cumcount (wave order = priority
                 # order): row i of host h survives iff its rank within h
                 # is under h's Crawl-delay budget
-                s = wave_rest.column("host").to_pandas()
-                rank = s.groupby(s, sort=False).cumcount().to_numpy()
-                capv = s.map(
-                    {h: c for h, c in caps.items() if c is not None}
-                ).to_numpy(dtype=float, na_value=np.inf)
-                keep = rank < capv
+                keep = crawl_delay_keep(
+                    wave_rest.column("host").to_pandas(), caps
+                )
                 if not keep.all():
                     mask = pa.array(keep)
                     overflow = (

@@ -325,6 +325,48 @@ def test_robots_respected_end_to_end(ray_session, tmp_path):
     assert any("/p/" in u for u in fetched)
 
 
+def test_crawl_delay_keep_matches_reference_loop():
+    """The vectorized Crawl-delay keep-mask (crawl_delay_keep) must be
+    row-identical to the per-row loop it replaced — including null
+    hosts, which never carry a robots directive and must ALWAYS be kept
+    (pandas groupby drops NaN keys, so a bare rank<cap would silently
+    defer such rows every wave forever)."""
+    import itertools
+    import random
+
+    from spider_ray.pipelines.crawl import crawl_delay_keep
+
+    def reference(hosts, caps):
+        keep, used = [], {}
+        for h in hosts:
+            cap = caps.get(h)
+            if cap is None:
+                keep.append(True)
+                continue
+            k = used.get(h, 0)
+            keep.append(k < cap)
+            if k < cap:
+                used[h] = k + 1
+        return keep
+
+    rng = random.Random(7)
+    universe = ["a.test", "b.test", "c.test", None, ""]
+    for trial in range(200):
+        n = rng.randrange(0, 25)
+        hosts = [rng.choice(universe) for _ in range(n)]
+        caps = {
+            h: rng.choice([None, 0, 1, 2, 5])
+            for h in ["a.test", "b.test", "c.test", ""]
+            if rng.random() < 0.8
+        }
+        got = crawl_delay_keep(hosts, caps).tolist()
+        assert got == reference(hosts, caps), (hosts, caps)
+    # the exact regression: a null host in a capped wave is kept
+    assert crawl_delay_keep(
+        ["a.test", None, "a.test"], {"a.test": 1}
+    ).tolist() == [True, True, False]
+
+
 def test_crawl_delay_budgets_end_to_end(ray_session, tmp_path):
     """A host declaring Crawl-delay gets floor(period/delay) fetches per
     wave while other hosts run at the full budget; the throttled host's
