@@ -72,6 +72,10 @@ def run_bench() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # worker/raylet log streaming writes to the DRIVER'S stdout; a
+        # stray "(raylet) WARNING ..." line there (observed under CPU
+        # oversubscription) would corrupt the one-JSON-line contract
+        log_to_driver=False,
     )
     from ray.data import DataContext
 
@@ -463,11 +467,24 @@ def run_calibration() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
-    elif "--calibrate" in sys.argv:
-        print(json.dumps(run_calibration()))
-    elif "--burn" in sys.argv:
-        _burn_forever()
-    else:
-        print(json.dumps(run_bench()))
+    # The driver contract is EXACTLY one JSON line on stdout.  Ray's
+    # in-driver log threads print "(raylet) WARNING ..." lines straight
+    # to sys.stdout (even with log_to_driver=False), so run everything
+    # with sys.stdout rebound to stderr and emit only the final payload
+    # on the real stdout.
+    _real_stdout = sys.stdout
+    sys.stdout = sys.stderr
+    try:
+        if "--scaling" in sys.argv:
+            payload = json.dumps(run_scaling())
+        elif "--calibrate" in sys.argv:
+            payload = json.dumps(run_calibration())
+        elif "--burn" in sys.argv:
+            _burn_forever()
+            payload = None
+        else:
+            payload = json.dumps(run_bench())
+    finally:
+        sys.stdout = _real_stdout
+    if payload is not None:
+        print(payload)
